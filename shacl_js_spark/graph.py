@@ -1,0 +1,122 @@
+"""Distributed triples DataFrame: schema, loaders, term-column helpers.
+
+The data graph is a DataFrame with fixed schema (SURVEY.md §1.5) replacing the
+reference's rdflib statement store (src/rdflib-graph.js:34-44):
+
+    s       encoded subject   (<iri> | _:id)        -- join key
+    p       encoded predicate (<iri>)               -- filter key
+    o       encoded object                          -- join key
+    o_v     object lexical value / iri / bnode id
+    o_kind  'iri' | 'bnode' | 'literal'
+    o_dt    datatype iri (literals; xsd:string for plain)
+    o_lang  language tag or null
+    g       graph uri
+
+Single-string encoded terms give 1-column equi-joins; decomposed o_* columns
+keep constraint predicates JVM-side (no re-parsing).  At 100 TB this layout is
+Parquet/Iceberg-friendly: filters on `p` prune row groups, and only the
+columns a constraint touches are read.
+
+Term frames (focus/value sets flowing through validation) use 5-column groups
+with a prefix: {x}, {x}_v, {x}_kind, {x}_dt, {x}_lang.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .terms import Term, XSD_STRING
+from .turtle import Triple, parse_turtle
+
+TRIPLE_FIELDS = ["s", "p", "o", "o_v", "o_kind", "o_dt", "o_lang", "g"]
+TRIPLE_SCHEMA = StructType([StructField(n, StringType(), True) for n in TRIPLE_FIELDS])
+
+DEFAULT_GRAPH = "urn:x-shacl:dataGraph"  # ref: index.js:26
+
+
+def term_to_row_parts(t: Term) -> tuple[str, str, str, str | None, str | None]:
+    """(enc, v, kind, dt, lang) for a term."""
+    return (t.encoded(), t.value, t.kind, t.datatype, t.lang)
+
+
+def triples_to_rows(triples: list[Triple], g: str = DEFAULT_GRAPH) -> list[tuple]:
+    rows = []
+    for s, p, o in triples:
+        enc_o, v, kind, dt, lang = term_to_row_parts(o)
+        rows.append((s.encoded(), p.encoded(), enc_o, v, kind, dt, lang, g))
+    return rows
+
+
+def triples_df(spark: SparkSession, triples: list[Triple], g: str = DEFAULT_GRAPH,
+               num_partitions: int | None = None) -> DataFrame:
+    rows = triples_to_rows(triples, g)
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df
+
+
+def turtle_df(spark: SparkSession, text: str, g: str = DEFAULT_GRAPH) -> DataFrame:
+    trips, _ = parse_turtle(text)
+    return triples_df(spark, trips, g)
+
+
+# --- column helpers -------------------------------------------------------
+
+def term_cols(prefix: str) -> list[str]:
+    return [prefix, f"{prefix}_v", f"{prefix}_kind", f"{prefix}_dt", f"{prefix}_lang"]
+
+
+def select_term_as(df: DataFrame, src: str, dst: str, extra: list[str] | None = None) -> DataFrame:
+    """Project the 5-column group `src` to name `dst` (plus extra passthrough cols)."""
+    cols = [F.col(c) for c in (extra or [])]
+    cols += [
+        F.col(src).alias(dst),
+        F.col(f"{src}_v").alias(f"{dst}_v"),
+        F.col(f"{src}_kind").alias(f"{dst}_kind"),
+        F.col(f"{src}_dt").alias(f"{dst}_dt"),
+        F.col(f"{src}_lang").alias(f"{dst}_lang"),
+    ]
+    return df.select(*cols)
+
+
+def subject_decomposed(col: str = "s", prefix: str = "focus") -> list[Column]:
+    """Decompose an encoded subject column (iri/bnode only) into a 5-col group."""
+    c = F.col(col)
+    is_bnode = c.startswith("_:")
+    return [
+        c.alias(prefix),
+        F.when(is_bnode, c).otherwise(F.expr(f"substring({col}, 2, length({col}) - 2)")).alias(f"{prefix}_v"),
+        F.when(is_bnode, F.lit("bnode")).otherwise(F.lit("iri")).alias(f"{prefix}_kind"),
+        F.lit(None).cast("string").alias(f"{prefix}_dt"),
+        F.lit(None).cast("string").alias(f"{prefix}_lang"),
+    ]
+
+
+def object_decomposed(prefix: str = "value") -> list[Column]:
+    return [
+        F.col("o").alias(prefix),
+        F.col("o_v").alias(f"{prefix}_v"),
+        F.col("o_kind").alias(f"{prefix}_kind"),
+        F.col("o_dt").alias(f"{prefix}_dt"),
+        F.col("o_lang").alias(f"{prefix}_lang"),
+    ]
+
+
+def terms_frame(spark: SparkSession, terms: list[Term], prefix: str = "focus") -> DataFrame:
+    schema = StructType([StructField(n, StringType(), True) for n in term_cols(prefix)])
+    rows = [term_to_row_parts(t) for t in terms]
+    return spark.createDataFrame(rows, schema)
+
+
+def enc_iri(value: str) -> str:
+    return f"<{value}>"
+
+
+# JS Number() coercion analog for numeric constraint params/values
+# (ref: shared/dash.js:223-249 uses Number($value.lex)):
+def js_number(col: Column) -> Column:
+    """Cast a lexical string like JS Number(): '' -> 0, invalid -> null (NaN)."""
+    return F.when(F.trim(col) == "", F.lit(0.0)).otherwise(col.try_cast("double"))

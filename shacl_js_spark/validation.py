@@ -1,0 +1,1064 @@
+"""Set-oriented SHACL validation engine over a distributed triples DataFrame.
+
+Behavioral reference: /root/reference/src/validation-engine.js (result
+creation/multiplicity, nested-result suppression) and /root/reference/shared/
+dash.js (per-component verdict logic).  Architecture is NOT a port of the
+per-node recursive walk: each shape compiles to one lazy DataFrame plan
+(joins/aggregations over the whole focus-node set at once); the report is a
+union of per-shape violation frames collected once.  Nested conformance
+(sh:and/or/not/node/qualified*) maps to semi/anti-joins against the child
+shape's non-conforming node set — only the boolean escapes, mirroring the
+reference's recordErrorsLevel suppression (validation-engine.js:251-282).
+
+Scale notes (100 TB design):
+  * every constraint is built-in Column expressions + equi-joins — no
+    per-row Python in the hot path (pandas UDFs only for the rare
+    encodeURIComponent parity case and custom registry validators)
+  * class/subclass closures are collected once (ontology ≪ data) and applied
+    as broadcast joins — the "broadcast-joined type closure" of the north rule
+  * focus/value frames key on a single encoded-term string column, so all
+    joins are 1-column equi-joins AQE can re-plan (skew → AQE skew join)
+  * zeroOrMore/oneOrMore paths run as an iterative fixpoint with
+    localCheckpoint per round to cut lineage (SURVEY.md §4)
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .graph import (
+    js_number,
+    object_decomposed,
+    subject_decomposed,
+    term_cols,
+    terms_frame,
+)
+from .localgraph import RDFS_SUBCLASSOF, LocalGraph
+from .shapes import (
+    DASH,
+    GENERIC,
+    PER_FOCUS,
+    SH,
+    Constraint,
+    Path,
+    Shape,
+    ShapesIR,
+)
+from .terms import (
+    NAMESPACES,
+    TRUE,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_FLOAT,
+    XSD_INTEGER,
+    Term,
+    decode_term,
+    iri,
+)
+from .report import ValidationReport, ValidationResult
+
+RDF_TYPE_ENC = f"<{NAMESPACES['rdf']}type>"
+SUBCLASS_ENC = f"<{RDFS_SUBCLASSOF}>"
+
+VIOL_COLS = (
+    ["bubble"]
+    + term_cols("focus")
+    + term_cols("value")
+    + ["path", "component", "severity", "source_shape", "message"]
+)
+VIOL_SCHEMA = StructType([StructField(c, StringType(), True) for c in VIOL_COLS])
+RECORD_COLS = VIOL_COLS[1:]
+
+_NULL = F.lit(None).cast("string")
+
+
+class ShaclValidationError(RuntimeError):
+    """Mirrors the reference's thrown validation errors (e.g. 'Cannot find
+    validator for constraint component ...', validation-engine.js:301)."""
+
+
+def _tt_name(kind_col: Column) -> Column:
+    """termType name used by compareTerms ordering (rdfquery.js:910)."""
+    return (
+        F.when(kind_col == "bnode", F.lit("BlankNode"))
+        .when(kind_col == "literal", F.lit("Literal"))
+        .otherwise(F.lit("NamedNode"))
+    )
+
+
+def _cmp_struct(prefix: str) -> Column:
+    """Lexicographic struct implementing compareTerms (rdfquery.js:903-938):
+    termType name, value, datatype, language (codepoint order; the JS
+    localeCompare divergence is documented in SURVEY.md §1.3)."""
+    return F.struct(
+        _tt_name(F.col(f"{prefix}_kind")),
+        F.col(f"{prefix}_v"),
+        F.coalesce(F.col(f"{prefix}_dt"), F.lit("")),
+        F.coalesce(F.col(f"{prefix}_lang"), F.lit("")),
+    )
+
+
+def _incomparable(a: str, b: str) -> Column:
+    """compareNodes returns null when both literals but datatypes differ
+    (index.js:66-76)."""
+    return (
+        (F.col(f"{a}_kind") == "literal")
+        & (F.col(f"{b}_kind") == "literal")
+        & (F.coalesce(F.col(f"{a}_dt"), F.lit("")) != F.coalesce(F.col(f"{b}_dt"), F.lit("")))
+    )
+
+
+def _js_regex_to_java(pattern: str, flags: str | None) -> str:
+    prefix = ""
+    if flags:
+        inline = "".join(ch for ch in flags if ch in "ims")
+        if inline:
+            prefix = f"(?{inline})"
+    return prefix + pattern
+
+
+_INT_LEX = r"^\s*[+-]?[0-9]"          # JS parseInt(lex) not NaN
+_FLOAT_LEX = r"^\s*[+-]?([0-9]|\.[0-9])"  # JS parseFloat(lex) not NaN
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data: DataFrame,
+        shapes: LocalGraph,
+        registry=None,
+        error_batch: int = -1,
+    ):
+        self.spark = spark
+        self.data = data
+        self.shapes = shapes
+        self.registry = registry
+        self.ir = ShapesIR(shapes, registry)
+        self.error_batch = error_batch
+        self._sub_children: dict[str, list[str]] | None = None  # parent enc -> child encs
+        self._stack: list[Term] = []  # shape recursion guard (compile-time cycle reject)
+
+    # ------------------------------------------------------------------ data
+    def _empty_viols(self) -> DataFrame:
+        return self.spark.createDataFrame([], VIOL_SCHEMA)
+
+    def trips(self, pred_enc: str | None = None) -> DataFrame:
+        """Triples projected to fresh attribute ids (t_*) so repeated
+        self-joins of the data graph stay unambiguous."""
+        df = self.data if pred_enc is None else self.data.filter(F.col("p") == pred_enc)
+        return df.select(
+            F.col("s").alias("t_s"),
+            F.col("p").alias("t_p"),
+            F.col("o").alias("t_o"),
+            F.col("o_v").alias("t_o_v"),
+            F.col("o_kind").alias("t_o_kind"),
+            F.col("o_dt").alias("t_o_dt"),
+            F.col("o_lang").alias("t_o_lang"),
+        )
+
+    def _subclass_children(self) -> dict[str, list[str]]:
+        """Collect rdfs:subClassOf edges from the DATA graph once (ontology is
+        small even at 100 TB data; ref getSubClassesOf walks the store,
+        shapes-graph.js:54-58) -> parent -> [children]."""
+        if self._sub_children is None:
+            rows = (
+                self.data.filter(F.col("p") == SUBCLASS_ENC)
+                .select("s", "o")
+                .distinct()
+                .collect()
+            )
+            m: dict[str, list[str]] = {}
+            for r in rows:
+                m.setdefault(r["o"], []).append(r["s"])
+            self._sub_children = m
+        return self._sub_children
+
+    def data_subclasses(self, cls_enc: str) -> set[str]:
+        """Transitive subclasses in the data graph (excludes cls itself)."""
+        children = self._subclass_children()
+        out: set[str] = set()
+        stack = [cls_enc]
+        while stack:
+            for ch in children.get(stack.pop(), ()):
+                if ch not in out:
+                    out.add(ch)
+                    stack.append(ch)
+        return out
+
+    def class_instances_df(self, cls: Term, prefix: str = "focus") -> DataFrame:
+        encs = list(self.data_subclasses(cls.encoded()) | {cls.encoded()})
+        return (
+            self.data.filter((F.col("p") == RDF_TYPE_ENC) & F.col("o").isin(encs))
+            .select(*subject_decomposed("s", prefix))
+            .dropDuplicates([prefix])
+        )
+
+    # --------------------------------------------------------------- targets
+    def targets_frame(self, shape: Shape) -> DataFrame:
+        spec = self.ir.target_spec(shape.node)
+        pieces: list[DataFrame] = []
+        for cls in spec.classes:
+            pieces.append(self.class_instances_df(cls))
+        if spec.nodes:
+            pieces.append(terms_frame(self.spark, spec.nodes, "focus"))
+        for pred in spec.subjects_of:
+            pieces.append(
+                self.data.filter(F.col("p") == pred.encoded()).select(
+                    *subject_decomposed("s", "focus")
+                )
+            )
+        for pred in spec.objects_of:
+            pieces.append(
+                self.data.filter(F.col("p") == pred.encoded()).select(
+                    *object_decomposed("focus")
+                )
+            )
+        if not pieces:
+            return self.spark.createDataFrame(
+                [], StructType([StructField(c, StringType(), True) for c in term_cols("focus")])
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates(["focus"])
+
+    # ----------------------------------------------------------------- paths
+    def eval_path(self, path: Path, focus_df: DataFrame) -> DataFrame:
+        """focus frame -> (focus5, value5) via SPARQL-path algebra
+        (ref: src/rdfquery.js:1024-1080; mapping SURVEY.md §2.3)."""
+        start = focus_df.select(
+            *term_cols("focus"),
+            *[F.col(c).alias(c.replace("focus", "cur")) for c in term_cols("focus")],
+        )
+        out = self._walk(path, start)
+        renamed = out.select(
+            *term_cols("focus"),
+            *[F.col(c.replace("value", "cur")).alias(c) for c in term_cols("value")],
+        )
+        if not path.is_simple_pred:
+            renamed = renamed.dropDuplicates(["focus", "value"])
+        return renamed
+
+    def _hop_pred(self, df: DataFrame, pred_iri: str, inverse: bool = False) -> DataFrame:
+        trips = self.trips(f"<{pred_iri}>")
+        if not inverse:
+            joined = df.join(trips, df["cur"] == trips["t_s"], "inner")
+            new_cur = [
+                trips["t_o"].alias("cur"),
+                trips["t_o_v"].alias("cur_v"),
+                trips["t_o_kind"].alias("cur_kind"),
+                trips["t_o_dt"].alias("cur_dt"),
+                trips["t_o_lang"].alias("cur_lang"),
+            ]
+        else:
+            joined = df.join(trips, df["cur"] == trips["t_o"], "inner")
+            s = trips["t_s"]
+            is_b = s.startswith("_:")
+            new_cur = [
+                s.alias("cur"),
+                F.when(is_b, s).otherwise(F.expr("substring(t_s, 2, length(t_s) - 2)")).alias("cur_v"),
+                F.when(is_b, F.lit("bnode")).otherwise(F.lit("iri")).alias("cur_kind"),
+                _NULL.alias("cur_dt"),
+                _NULL.alias("cur_lang"),
+            ]
+        return joined.select(*[df[c] for c in term_cols("focus")], *new_cur)
+
+    def _walk(self, path: Path, df: DataFrame) -> DataFrame:
+        if path.kind == "pred":
+            return self._hop_pred(df, path.pred)
+        if path.kind == "inverse":
+            return self._hop_pred(df, path.pred, inverse=True)
+        if path.kind == "seq":
+            cur = df
+            for child in path.children:
+                cur = self._walk(child, cur)
+            return cur
+        if path.kind == "alt":
+            branches = [self._walk(c, df) for c in path.children]
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
+            return out.dropDuplicates(["focus", "cur"])
+        if path.kind == "zeroOrOne":
+            return df.unionByName(self._walk(path.children[0], df)).dropDuplicates(
+                ["focus", "cur"]
+            )
+        if path.kind in ("zeroOrMore", "oneOrMore"):
+            child = path.children[0]
+            if path.kind == "zeroOrMore":
+                acc = df.dropDuplicates(["focus", "cur"])
+            else:
+                acc = self._walk(child, df).dropDuplicates(["focus", "cur"])
+            frontier = acc
+            # iterative fixpoint join with per-round checkpointing
+            # (SURVEY.md §4 custom machinery #1; cycle guard = the anti-join)
+            while True:
+                frontier = (
+                    self._walk(child, frontier)
+                    .dropDuplicates(["focus", "cur"])
+                    .join(acc, ["focus", "cur"], "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if frontier.isEmpty():
+                    break
+                acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+            return acc
+        raise ValueError(f"unknown path kind {path.kind}")
+
+    # ----------------------------------------------------------- value nodes
+    def values_frame(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
+        """(focus5, value5); node shapes use the focus itself
+        (ref: shapes-graph.js:348-355)."""
+        if shape.path is None:
+            return focus_df.select(
+                *term_cols("focus"),
+                *[F.col(c).alias(c.replace("focus", "value")) for c in term_cols("focus")],
+            )
+        return self.eval_path(shape.path, focus_df)
+
+    # ------------------------------------------------------------ validation
+    def validate(self) -> ValidationReport:
+        shapes = self.ir.shapes_with_target()
+        out = self._empty_viols().select(*RECORD_COLS)
+        for shape in shapes:
+            targets = self.targets_frame(shape)
+            out = out.unionByName(
+                self.shape_violations(shape, targets).select(*RECORD_COLS)
+            )
+        if self.error_batch >= 0:
+            out = out.limit(self.error_batch)
+        rows = out.collect()
+        return ValidationReport(
+            [
+                ValidationResult(
+                    focus=decode_term(r["focus"]) if r["focus"] else None,
+                    value=decode_term(r["value"]) if r["value"] else None,
+                    path=decode_term(r["path"]) if r["path"] else None,
+                    component=r["component"],
+                    severity=r["severity"],
+                    source_shape=decode_term(r["source_shape"]) if r["source_shape"] else None,
+                    message=r["message"],
+                )
+                for r in rows
+            ]
+        )
+
+    def report_df(self) -> DataFrame:
+        """Full report as a DataFrame (for writing to parquet/Iceberg)."""
+        shapes = self.ir.shapes_with_target()
+        out = self._empty_viols().select(*RECORD_COLS)
+        for shape in shapes:
+            targets = self.targets_frame(shape)
+            out = out.unionByName(
+                self.shape_violations(shape, targets).select(*RECORD_COLS)
+            )
+        return out
+
+    def shape_violations(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
+        """All violation rows for `shape` over the given focus frame
+        (ref: validateNodeAgainstShape, validation-engine.js:201-218)."""
+        if shape.deactivated:
+            return self._empty_viols()
+        if shape.node in self._stack:
+            raise ShaclValidationError(
+                f"recursive shape reference at {shape.node} (reference would stack-overflow)"
+            )
+        self._stack.append(shape.node)
+        try:
+            values = self.values_frame(shape, focus_df)
+            out = self._empty_viols()
+            for constraint in shape.constraints:
+                v = self._dispatch(shape, constraint, focus_df, values)
+                if v is not None:
+                    out = out.unionByName(v.select(*VIOL_COLS))
+            return out
+        finally:
+            self._stack.pop()
+
+    def nonconforming(self, shape_node: Term, nodes_df: DataFrame) -> DataFrame:
+        """DF['node'] of nodes NOT conforming to the shape — the distributed
+        analog of nodeConformsToShape (index.js:82-92); only the set
+        membership escapes (result suppression, validation-engine.js:74-81)."""
+        shape = self.ir.get_shape(shape_node)
+        viols = self.shape_violations(shape, nodes_df)
+        return viols.select(F.col("bubble").alias("node")).dropDuplicates(["node"])
+
+    # --------------------------------------------------------------- helpers
+    def _rows(
+        self,
+        df: DataFrame,
+        shape: Shape,
+        comp_iri: str,
+        with_value: bool = True,
+        path_col: Column | None = None,
+        value_cols: list[Column] | None = None,
+        message_col: Column | None = None,
+        bubble_col: Column | None = None,
+    ) -> DataFrame:
+        """Normalize a failure frame into violation rows
+        (ref: createResult, validation-engine.js:50-64)."""
+        if path_col is None:
+            path_col = (
+                F.lit(shape.path_node.encoded()) if shape.path_node is not None else _NULL
+            )
+        if value_cols is None:
+            if with_value:
+                value_cols = [F.col(c) for c in term_cols("value")]
+            else:
+                value_cols = [_NULL.alias(c) for c in term_cols("value")]
+        if message_col is None:
+            message_col = self._shape_message(shape)
+        return df.select(
+            (bubble_col if bubble_col is not None else F.col("focus")).alias("bubble"),
+            *[F.col(c) for c in term_cols("focus")],
+            *[c.alias(n) if not isinstance(c, str) else F.col(c).alias(n)
+              for c, n in zip(value_cols, term_cols("value"))],
+            path_col.alias("path"),
+            F.lit(comp_iri).alias("component"),
+            F.lit(shape.severity.value).alias("severity"),
+            F.lit(shape.node.encoded()).alias("source_shape"),
+            message_col.alias("message"),
+        )
+
+    def _shape_message(self, shape: Shape) -> Column:
+        # shape-level sh:message wins (createResultMessages,
+        # validation-engine.js:149-173); {$param} substitution happens at the
+        # call sites that know the params. Default component messages omitted
+        # (not part of report comparison).
+        if shape.messages:
+            return F.lit(shape.messages[0].value)
+        return _NULL
+
+    def _num_param(self, t: Term) -> float | None:
+        try:
+            return float(t.value)
+        except (TypeError, ValueError):
+            return None
+
+    def _values_as_candidates(self, values: DataFrame) -> DataFrame:
+        return values.select(
+            *[F.col(c).alias(c.replace("value", "focus")) for c in term_cols("value")]
+        ).dropDuplicates(["focus"])
+
+    # -------------------------------------------------------------- dispatch
+    def _dispatch(
+        self, shape: Shape, c: Constraint, targets: DataFrame, values: DataFrame
+    ) -> DataFrame | None:
+        comp = c.component
+        style = comp.property_style if shape.is_property_shape else comp.node_style
+        if comp.iri == SH + "PropertyConstraintComponent":
+            return self._property(shape, c, targets, values)
+        if style is None:
+            raise ShaclValidationError(
+                f"Cannot find validator for constraint component {comp.iri}"
+            )
+        if comp.custom:
+            return self._custom(shape, c, targets, values, style)
+        impl = _IMPLS.get(comp.iri)
+        if impl is None:
+            raise ShaclValidationError(
+                f"Cannot find validator for constraint component {comp.iri}"
+            )
+        return impl(self, shape, c, targets, values)
+
+    # ---------------------------------------------------- constraint impls --
+    # Each returns a violation frame or None. Citations point at the verdict
+    # logic being reproduced (shared/dash.js).
+
+    def _property(self, shape, c, targets, values):
+        # sh:property — native recursion; child focus = parent value nodes
+        # (validation-engine.js:224-232). Violations recorded with the CHILD's
+        # focus/severity/shape; bubbled to the parent focus for conformance.
+        child = self.ir.get_shape(c.param_value)
+        candidates = self._values_as_candidates(values)
+        child_viols = self.shape_violations(child, candidates)
+        mapping = values.select(
+            F.col("focus").alias("_pfocus"), F.col("value").alias("_pvalue")
+        )
+        return (
+            child_viols.join(mapping, child_viols["bubble"] == mapping["_pvalue"], "inner")
+            .select(F.col("_pfocus").alias("bubble"), *VIOL_COLS[1:])
+        )
+
+    def _class(self, shape, c, targets, values):
+        # validateClass (dash.js:27-29): instance-of incl. data-graph subclass
+        # closure — broadcast-joined type closure.
+        cls = c.param_value
+        instances = self.class_instances_df(cls, "node").select("node")
+        fail = values.join(
+            F.broadcast(instances), values["value"] == instances["node"], "left_anti"
+        )
+        return self._rows(fail, shape, c.component.iri)
+
+# --------------------------------------------------------------------------
+# Constraint implementations (module-level for a flat dispatch table).
+# --------------------------------------------------------------------------
+
+def _impl_class(eng: Engine, shape, c, targets, values):
+    return eng._class(shape, c, targets, values)
+
+
+def _impl_datatype(eng, shape, c, targets, values):
+    # validateDatatype (dash.js:92-99) + isValidForDatatype (dash.js:526-541):
+    # exact datatype IRI equality; lexical check only for integer/decimal/
+    # float (JS parseInt/parseFloat semantics) and boolean.
+    dt = c.param_value.value
+    ok = (F.col("value_kind") == "literal") & (F.col("value_dt") == dt)
+    if dt == XSD_INTEGER:
+        ok = ok & F.col("value_v").rlike(_INT_LEX)
+    elif dt in (XSD_DECIMAL, XSD_FLOAT):
+        ok = ok & F.col("value_v").rlike(_FLOAT_LEX)
+    elif dt == XSD_BOOLEAN:
+        ok = ok & F.col("value_v").isin(["true", "false"])
+    return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+
+_NODEKIND_ALLOWED = {
+    SH + "BlankNode": ["bnode"],
+    SH + "IRI": ["iri"],
+    SH + "Literal": ["literal"],
+    SH + "BlankNodeOrIRI": ["bnode", "iri"],
+    SH + "BlankNodeOrLiteral": ["bnode", "literal"],
+    SH + "IRIOrLiteral": ["iri", "literal"],
+}
+
+
+def _impl_nodekind(eng, shape, c, targets, values):
+    allowed = _NODEKIND_ALLOWED.get(c.param_value.value, [])
+    fail = values.filter(~F.col("value_kind").isin(allowed))
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_pattern(eng, shape, c, targets, values):
+    # validatePattern (dash.js:305-311): bnode fails; regex over value.value
+    # (IRIs included). JS RegExp -> Java regex with inline flags.
+    flags = c.params.get("flags")
+    java_re = _js_regex_to_java(c.params["pattern"].value, flags.value if flags else None)
+    ok = (F.col("value_kind") != "bnode") & F.col("value_v").rlike(java_re)
+    return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+
+def _impl_minlength(eng, shape, c, targets, values):
+    n = eng._num_param(c.param_value)
+    ok = (F.col("value_kind") != "bnode") & (F.length("value_v") >= F.lit(n))
+    return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+
+def _impl_maxlength(eng, shape, c, targets, values):
+    n = eng._num_param(c.param_value)
+    ok = (F.col("value_kind") != "bnode") & (F.length("value_v") <= F.lit(n))
+    return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+
+def _range_impl(op):
+    def impl(eng, shape, c, targets, values):
+        # validateMin/MaxInclusive/Exclusive (dash.js:223-249): literal-only,
+        # JS Number() coercion on both sides; NaN comparisons fail.
+        bound = eng._num_param(c.param_value)
+        num = js_number(F.col("value_v"))
+        if bound is None:
+            ok = F.lit(False)
+        else:
+            ok = (F.col("value_kind") == "literal") & num.isNotNull() & op(num, F.lit(bound))
+        return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+    return impl
+
+
+def _impl_in(eng, shape, c, targets, values):
+    # validateIn (dash.js:163-167): term-identity membership in shapes-graph list
+    members = [t.encoded() for t in eng.shapes.rdf_list(c.param_value)]
+    fail = values.filter(~F.col("value").isin(members))
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_languagein(eng, shape, c, targets, values):
+    # validateLanguageIn (dash.js:169-184): literal with nonempty lang whose
+    # tag STARTS WITH one of the listed tags.
+    tags = [t.value for t in eng.shapes.rdf_list(c.param_value)]
+    lang_ok = F.lit(False)
+    for t in tags:
+        lang_ok = lang_ok | F.col("value_lang").startswith(t)
+    ok = (
+        (F.col("value_kind") == "literal")
+        & F.col("value_lang").isNotNull()
+        & (F.col("value_lang") != "")
+        & lang_ok
+    )
+    return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+
+def _impl_stem(eng, shape, c, targets, values):
+    ok = (F.col("value_kind") == "iri") & F.col("value_v").startswith(c.param_value.value)
+    return eng._rows(values.filter(~ok), shape, c.component.iri)
+
+
+def _impl_rootclass(eng, shape, c, targets, values):
+    # validateRootClass (dash.js:365-367): zeroOrMore(subClassOf) reachability
+    root = c.param_value.encoded()
+    reach = list(eng.data_subclasses(root) | {root})
+    fail = values.filter(~F.col("value").isin(reach))
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_subsetof(eng, shape, c, targets, values):
+    # validateSubSetOf (dash.js:373-375): (focus, subSetOf, value) must exist
+    trips = eng.trips(c.param_value.encoded())
+    fail = values.join(
+        trips, (values["focus"] == trips["t_s"]) & (values["value"] == trips["t_o"]), "left_anti"
+    )
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_disjoint(eng, shape, c, targets, values):
+    # validateDisjoint (dash.js:101-103): violation if (focus, disjoint, value) exists
+    trips = eng.trips(c.param_value.encoded())
+    fail = values.join(
+        trips, (values["focus"] == trips["t_s"]) & (values["value"] == trips["t_o"]), "left_semi"
+    )
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_hasvalue(eng, shape, c, targets, values):
+    want = c.param_value.encoded()
+    if shape.is_property_shape:
+        # validateHasValueProperty (dash.js:151-154): ∃ path value == hasValue
+        have = values.filter(F.col("value") == want).select("focus").dropDuplicates()
+        fail = targets.join(have, "focus", "left_anti")
+    else:
+        # validateHasValueNode (dash.js:147-149): focus == hasValue
+        fail = targets.filter(F.col("focus") != want)
+    return eng._rows(fail, shape, c.component.iri, with_value=False)
+
+
+def _impl_hasvaluewithclass(eng, shape, c, targets, values):
+    # validateHasValueWithClass (dash.js:156-161)
+    instances = eng.class_instances_df(c.param_value, "node").select("node")
+    have = (
+        values.join(F.broadcast(instances), values["value"] == instances["node"], "left_semi")
+        .select("focus")
+        .dropDuplicates()
+    )
+    fail = targets.join(have, "focus", "left_anti")
+    return eng._rows(fail, shape, c.component.iri, with_value=False)
+
+
+def _count_frame(targets: DataFrame, values: DataFrame) -> DataFrame:
+    counts = values.groupBy("focus").agg(F.count("value").alias("_cnt"))
+    return targets.join(counts, "focus", "left").withColumn(
+        "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
+    )
+
+
+def _impl_mincount(eng, shape, c, targets, values):
+    n = eng._num_param(c.param_value)
+    fail = _count_frame(targets, values).filter(~(F.col("_cnt") >= F.lit(n)))
+    return eng._rows(fail, shape, c.component.iri, with_value=False)
+
+
+def _impl_maxcount(eng, shape, c, targets, values):
+    n = eng._num_param(c.param_value)
+    fail = _count_frame(targets, values).filter(~(F.col("_cnt") <= F.lit(n)))
+    return eng._rows(fail, shape, c.component.iri, with_value=False)
+
+
+def _impl_uniquelang(eng, shape, c, targets, values):
+    # validateUniqueLangProperty (dash.js:377-404): per overused language one
+    # violation with the exact message string; no value recorded.
+    if c.param_value != TRUE:
+        return None
+    langs = (
+        values.filter(
+            (F.col("value_kind") == "literal")
+            & F.col("value_lang").isNotNull()
+            & (F.col("value_lang") != "")
+        )
+        .groupBy(*term_cols("focus"), "value_lang")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    msg = F.format_string('Language "%s" has been used by %d values', F.col("value_lang"), F.col("_n"))
+    return eng._rows(langs, shape, c.component.iri, with_value=False, message_col=msg)
+
+
+def _equals_prop_frames(eng, c, targets, values):
+    trips = eng.trips(c.param_value.encoded())
+    return targets.join(trips, targets["focus"] == trips["t_s"], "inner").select(
+        *[targets[x] for x in term_cols("focus")],
+        F.col("t_o").alias("value"),
+        F.col("t_o_v").alias("value_v"),
+        F.col("t_o_kind").alias("value_kind"),
+        F.col("t_o_dt").alias("value_dt"),
+        F.col("t_o_lang").alias("value_lang"),
+    )
+
+
+def _impl_equals(eng, shape, c, targets, values):
+    comp_iri = c.component.iri
+    if shape.is_property_shape:
+        # validateEqualsProperty (dash.js:105-125): symmetric difference,
+        # one violation per missing member on either side.
+        other = _equals_prop_frames(eng, c, targets, values)
+        # anti-join on (focus, value) both directions
+        a = values.select(*term_cols("focus"), *term_cols("value"))
+        b = other.select(*term_cols("focus"), *term_cols("value"))
+        miss1 = a.join(b.select("focus", "value"), ["focus", "value"], "left_anti")
+        miss2 = b.join(a.select("focus", "value"), ["focus", "value"], "left_anti")
+        return eng._rows(miss1.unionByName(miss2), shape, comp_iri)
+    # validateEqualsNode (dash.js:127-145): every value of the equals
+    # predicate must equal the focus; zero values -> one violation (value=focus)
+    other = _equals_prop_frames(eng, c, targets, values)
+    neq = other.filter(F.col("value") != F.col("focus"))
+    empty = targets.join(other.select("focus").dropDuplicates(), "focus", "left_anti")
+    self_val = empty.select(
+        *term_cols("focus"),
+        *[F.col(x).alias(x.replace("focus", "value")) for x in term_cols("focus")],
+    )
+    return eng._rows(neq.unionByName(self_val), shape, comp_iri)
+
+
+def _lessthan_impl(strict: bool):
+    def impl(eng, shape, c, targets, values):
+        # validateLessThan(/OrEquals)Property (dash.js:186-216): cross product
+        # of path values × other-prop values per focus; incomparable (mixed
+        # datatypes) or cmp >= 0 (> 0) is a violation; string comparison.
+        other = _equals_prop_frames(eng, c, targets, values).select(
+            F.col("focus").alias("_f2"),
+            *[F.col(x).alias(x.replace("value", "_o")) for x in term_cols("value")],
+        )
+        pairs = values.join(other, values["focus"] == other["_f2"], "inner")
+        cmp_bad = F.when(_incomparable("value", "_o"), F.lit(True)).otherwise(
+            _cmp_struct("value") >= _cmp_struct("_o") if strict
+            else _cmp_struct("value") > _cmp_struct("_o")
+        )
+        return eng._rows(pairs.filter(cmp_bad), shape, c.component.iri)
+
+    return impl
+
+
+def _impl_closed(eng, shape, c, targets, values):
+    # validateClosed (dash.js:31-54): allowed = IRI paths of this shape's
+    # property shapes + sh:ignoredProperties; one violation per offending
+    # (predicate, object) with custom path/value. rdf:type NOT auto-ignored.
+    if c.params.get("closed") != TRUE:
+        return None
+    allowed: list[str] = []
+    for pshape in eng.shapes.objects(shape.node, iri(SH + "property")):
+        p = eng.shapes.object(pshape, iri(SH + "path"))
+        if p is not None and p.is_iri:
+            allowed.append(p.encoded())
+    ignored = c.params.get("ignoredProperties")
+    if ignored is not None:
+        allowed += [t.encoded() for t in eng.shapes.rdf_list(ignored)]
+    trips = eng.trips()
+    off = values.join(trips, values["value"] == trips["t_s"], "inner").filter(
+        ~trips["t_p"].isin(allowed)
+    )
+    return eng._rows(
+        off,
+        shape,
+        c.component.iri,
+        path_col=F.col("t_p"),
+        value_cols=[F.col("t_o"), F.col("t_o_v"), F.col("t_o_kind"), F.col("t_o_dt"), F.col("t_o_lang")],
+    )
+
+
+def _impl_closedbytypes(eng, shape, c, targets, values):
+    # validateClosedByTypesNode (dash.js:56-83): allowed props come from the
+    # focus node's rdf:type closure joined to shapes-graph property paths.
+    if c.param_value != TRUE:
+        return None
+    # shapes-graph side: class -> allowed predicate encs (driver, KB-sized)
+    cls_props: dict[str, list[str]] = {}
+    for (cls_node, _, pshape) in eng.shapes.find(None, iri(SH + "property"), None):
+        p = eng.shapes.object(pshape, iri(SH + "path"))
+        if p is not None and p.is_iri:
+            cls_props.setdefault(cls_node.encoded(), []).append(p.encoded())
+    # data side: focus -> direct types, then zeroOrMore(subClassOf) UP in data
+    parents = {}
+    for (child, parent) in [
+        (r["s"], r["o"])
+        for r in eng.data.filter(F.col("p") == SUBCLASS_ENC).select("s", "o").distinct().collect()
+    ]:
+        parents.setdefault(child, []).append(parent)
+
+    def super_closure(t: str) -> set[str]:
+        out = {t}
+        stack = [t]
+        while stack:
+            for par in parents.get(stack.pop(), ()):
+                if par not in out:
+                    out.add(par)
+                    stack.append(par)
+        return out
+
+    # allowed (type -> preds) expanded over the data-graph superclass closure
+    allowed_rows = []
+    for cls_enc, preds in cls_props.items():
+        allowed_rows.append((cls_enc, preds))
+    typed = eng.data.filter(F.col("p") == RDF_TYPE_ENC).select(
+        F.col("s").alias("_n"), F.col("o").alias("_t")
+    )
+    # expand each focus's direct types to their superclosure driver-side map
+    # via a broadcast mapping (type -> allowed preds over closure)
+    all_types = [r["_t"] for r in typed.select("_t").distinct().collect()]
+    type_allowed: list[tuple[str, str]] = []
+    for t in all_types:
+        preds: set[str] = set()
+        for sup in super_closure(t):
+            preds.update(cls_props.get(sup, ()))
+        for pe in preds:
+            type_allowed.append((t, pe))
+    if type_allowed:
+        allowed_df = eng.spark.createDataFrame(type_allowed, ["_t", "_pred"])
+        focus_allowed = (
+            targets.join(typed, targets["focus"] == typed["_n"], "inner")
+            .join(F.broadcast(allowed_df), "_t", "inner")
+            .select("focus", "_pred")
+            .dropDuplicates()
+        )
+    else:
+        focus_allowed = eng.spark.createDataFrame([], "focus string, _pred string")
+    trips = eng.trips()
+    fa = focus_allowed.select(
+        F.col("focus").alias("_fa_focus"), F.col("_pred").alias("_fa_pred")
+    )
+    off = (
+        targets.join(trips, targets["focus"] == trips["t_s"], "inner")
+        .filter(trips["t_p"] != RDF_TYPE_ENC)
+        .join(
+            fa,
+            (F.col("focus") == fa["_fa_focus"]) & (trips["t_p"] == fa["_fa_pred"]),
+            "left_anti",
+        )
+    )
+    return eng._rows(
+        off,
+        shape,
+        c.component.iri,
+        path_col=F.col("t_p"),
+        value_cols=[F.col("t_o"), F.col("t_o_v"), F.col("t_o_kind"), F.col("t_o_dt"), F.col("t_o_lang")],
+    )
+
+
+def _impl_coexistswith(eng, shape, c, targets, values):
+    # validateCoExistsWith (dash.js:85-90): (∃ path value) must equal (∃ coProp value)
+    has1 = values.select("focus").dropDuplicates().withColumn("_h1", F.lit(1))
+    has2 = (
+        eng.data.filter(F.col("p") == c.param_value.encoded())
+        .select(F.col("s").alias("focus"))
+        .dropDuplicates()
+        .withColumn("_h2", F.lit(1))
+    )
+    flags = targets.join(has1, "focus", "left").join(has2, "focus", "left")
+    fail = flags.filter(
+        F.coalesce(F.col("_h1"), F.lit(0)) != F.coalesce(F.col("_h2"), F.lit(0))
+    )
+    return eng._rows(fail, shape, c.component.iri, with_value=False)
+
+
+def _impl_nonrecursive(eng, shape, c, targets, values):
+    # validateNonRecursiveProperty (dash.js:280-289)
+    if c.param_value != TRUE:
+        return None
+    fail = values.filter(F.col("value") == F.col("focus")).dropDuplicates(["focus"])
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_primarykey(eng, shape, c, targets, values):
+    # validatePrimaryKeyProperty (dash.js:313-325): three failure modes with
+    # exact message strings; encodeURIComponent parity via a pandas UDF.
+    import pandas as pd
+    from urllib.parse import quote
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def enc_uri(v: "pd.Series") -> "pd.Series":
+        return v.map(lambda x: quote(x, safe="-_.!~*'()") if x is not None else None)
+
+    uri_start = c.param_value.value
+    cnt = _count_frame(targets, values)
+    first_val = values.groupBy("focus").agg(F.min("value_v").alias("_val"))
+    frame = cnt.join(first_val, "focus", "left")
+    expected = F.concat(F.lit(uri_start), enc_uri(F.col("_val")))
+    msg = (
+        F.when(F.col("focus_kind") != "iri", F.lit("Must be an IRI"))
+        .when(F.col("_cnt") != 1, F.lit("Must have exactly one value"))
+        .when(F.col("focus_v") != expected, F.concat(F.lit("Does not have URI "), expected))
+        .otherwise(_NULL)
+    )
+    fail = frame.withColumn("_msg", msg).filter(F.col("_msg").isNotNull())
+    return eng._rows(fail, shape, c.component.iri, with_value=False, message_col=F.col("_msg"))
+
+
+# ---- logical components (conformance joins) ----
+
+def _impl_and(eng, shape, c, targets, values):
+    # validateAnd (dash.js:17-25): value fails if ANY member shape rejects it
+    members = eng.shapes.rdf_list(c.param_value)
+    candidates = eng._values_as_candidates(values)
+    nc_union = None
+    for m in members:
+        nc = eng.nonconforming(m, candidates)
+        nc_union = nc if nc_union is None else nc_union.unionByName(nc)
+    if nc_union is None:
+        return None
+    nc_union = nc_union.dropDuplicates(["node"])
+    fail = values.join(nc_union, values["value"] == nc_union["node"], "left_semi")
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_or(eng, shape, c, targets, values):
+    # validateOr (dash.js:295-303): value fails if ALL member shapes reject it
+    members = eng.shapes.rdf_list(c.param_value)
+    candidates = eng._values_as_candidates(values)
+    fail_set = candidates.select(F.col("focus").alias("node"))
+    for m in members:
+        nc = eng.nonconforming(m, candidates)
+        fail_set = fail_set.join(nc, "node", "left_semi")
+    fail = values.join(fail_set, values["value"] == fail_set["node"], "left_semi")
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_not(eng, shape, c, targets, values):
+    # validateNot (dash.js:291-293): value fails if it CONFORMS
+    candidates = eng._values_as_candidates(values)
+    nc = eng.nonconforming(c.param_value, candidates)
+    conforming = candidates.select(F.col("focus").alias("node")).join(nc, "node", "left_anti")
+    fail = values.join(conforming, values["value"] == conforming["node"], "left_semi")
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_xone(eng, shape, c, targets, values):
+    # validateXone (dash.js:426-435): exactly one member must conform
+    members = eng.shapes.rdf_list(c.param_value)
+    candidates = eng._values_as_candidates(values)
+    conf_union = None
+    for m in members:
+        nc = eng.nonconforming(m, candidates)
+        conf = candidates.select(F.col("focus").alias("node")).join(nc, "node", "left_anti")
+        conf_union = conf if conf_union is None else conf_union.unionByName(conf)
+    counts = (
+        conf_union.groupBy("node").agg(F.count("*").alias("_n"))
+        if conf_union is not None
+        else None
+    )
+    cand_nodes = candidates.select(F.col("focus").alias("node"))
+    if counts is None:
+        fail_set = cand_nodes
+    else:
+        fail_set = (
+            cand_nodes.join(counts, "node", "left")
+            .filter(F.coalesce(F.col("_n"), F.lit(0)) != 1)
+            .select("node")
+        )
+    fail = values.join(fail_set, values["value"] == fail_set["node"], "left_semi")
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _impl_node(eng, shape, c, targets, values):
+    # validateNode (dash.js:276-278)
+    candidates = eng._values_as_candidates(values)
+    nc = eng.nonconforming(c.param_value, candidates)
+    fail = values.join(nc, values["value"] == nc["node"], "left_semi")
+    return eng._rows(fail, shape, c.component.iri)
+
+
+def _qualified_impl(is_min: bool):
+    def impl(eng, shape, c, targets, values):
+        # validateQualifiedMin/MaxCountProperty + helper (dash.js:327-363)
+        qshape = c.params["qualifiedValueShape"]
+        bound = eng._num_param(
+            c.params["qualifiedMinCount" if is_min else "qualifiedMaxCount"]
+        )
+        candidates = eng._values_as_candidates(values)
+        nc = eng.nonconforming(qshape, candidates)
+        cand_nodes = candidates.select(F.col("focus").alias("node"))
+        conf = cand_nodes.join(nc, "node", "left_anti")
+        qualified = values.join(conf, values["value"] == conf["node"], "left_semi")
+        disjoint = c.params.get("qualifiedValueShapesDisjoint")
+        if disjoint == TRUE:
+            siblings = []
+            for parent in eng.shapes.subjects(iri(SH + "property"), shape.node):
+                for sib in eng.shapes.objects(parent, iri(SH + "property")):
+                    for sib_q in eng.shapes.objects(sib, iri(SH + "qualifiedValueShape")):
+                        if sib_q != qshape:
+                            siblings.append(sib_q)
+            for sib_q in siblings:
+                sib_nc = eng.nonconforming(sib_q, candidates)
+                sib_conf = cand_nodes.join(sib_nc, "node", "left_anti")
+                qualified = qualified.join(
+                    sib_conf, qualified["value"] == sib_conf["node"], "left_anti"
+                )
+        counts = qualified.groupBy("focus").agg(F.count("*").alias("_cnt"))
+        frame = targets.join(counts, "focus", "left").withColumn(
+            "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
+        )
+        cond = (F.col("_cnt") >= F.lit(bound)) if is_min else (F.col("_cnt") <= F.lit(bound))
+        return eng._rows(frame.filter(~cond), shape, c.component.iri, with_value=False)
+
+    return impl
+
+
+_IMPLS = {
+    SH + "ClassConstraintComponent": _impl_class,
+    SH + "DatatypeConstraintComponent": _impl_datatype,
+    SH + "NodeKindConstraintComponent": _impl_nodekind,
+    SH + "PatternConstraintComponent": _impl_pattern,
+    SH + "MinLengthConstraintComponent": _impl_minlength,
+    SH + "MaxLengthConstraintComponent": _impl_maxlength,
+    SH + "MinInclusiveConstraintComponent": _range_impl(lambda a, b: a >= b),
+    SH + "MinExclusiveConstraintComponent": _range_impl(lambda a, b: a > b),
+    SH + "MaxInclusiveConstraintComponent": _range_impl(lambda a, b: a <= b),
+    SH + "MaxExclusiveConstraintComponent": _range_impl(lambda a, b: a < b),
+    SH + "InConstraintComponent": _impl_in,
+    SH + "LanguageInConstraintComponent": _impl_languagein,
+    SH + "UniqueLangConstraintComponent": _impl_uniquelang,
+    SH + "HasValueConstraintComponent": _impl_hasvalue,
+    SH + "MinCountConstraintComponent": _impl_mincount,
+    SH + "MaxCountConstraintComponent": _impl_maxcount,
+    SH + "EqualsConstraintComponent": _impl_equals,
+    SH + "DisjointConstraintComponent": _impl_disjoint,
+    SH + "LessThanConstraintComponent": _lessthan_impl(strict=True),
+    SH + "LessThanOrEqualsConstraintComponent": _lessthan_impl(strict=False),
+    SH + "ClosedConstraintComponent": _impl_closed,
+    SH + "AndConstraintComponent": _impl_and,
+    SH + "OrConstraintComponent": _impl_or,
+    SH + "NotConstraintComponent": _impl_not,
+    SH + "XoneConstraintComponent": _impl_xone,
+    SH + "NodeConstraintComponent": _impl_node,
+    SH + "QualifiedMinCountConstraintComponent": _qualified_impl(is_min=True),
+    SH + "QualifiedMaxCountConstraintComponent": _qualified_impl(is_min=False),
+    DASH + "ClosedByTypesConstraintComponent": _impl_closedbytypes,
+    DASH + "CoExistsWithConstraintComponent": _impl_coexistswith,
+    DASH + "HasValueWithClassConstraintComponent": _impl_hasvaluewithclass,
+    DASH + "NonRecursiveConstraintComponent": _impl_nonrecursive,
+    DASH + "PrimaryKeyConstraintComponent": _impl_primarykey,
+    DASH + "RootClassConstraintComponent": _impl_rootclass,
+    DASH + "StemConstraintComponent": _impl_stem,
+    DASH + "SubSetOfConstraintComponent": _impl_subsetof,
+}
+
+
+# custom-component dispatch (registry.py) — attached to Engine here to keep
+# the impl table and the class in one module.
+def _custom(self: Engine, shape, c, targets, values, style):
+    if self.registry is None:
+        raise ShaclValidationError(
+            f"Cannot find validator for constraint component {c.component.iri}"
+        )
+    fn_name = self.ir.validator_function_name(c.component, shape.is_property_shape)
+    validator = self.registry.resolve(c.component.iri, fn_name)
+    if validator is None:
+        raise ShaclValidationError(
+            f"Cannot find validator for constraint component {c.component.iri}"
+        )
+    return validator(self, shape, c, targets, values, style)
+
+
+Engine._custom = _custom
