@@ -73,7 +73,8 @@ VIOL_COLS = (
 VIOL_SCHEMA = StructType([StructField(c, StringType(), True) for c in VIOL_COLS])
 RECORD_COLS = VIOL_COLS[1:]
 
-_NULL = F.lit(None).cast("string")
+def _NULL() -> Column:
+    return F.lit(None).cast("string")
 
 
 class ShaclValidationError(RuntimeError):
@@ -263,8 +264,8 @@ class Engine:
                 s.alias("cur"),
                 F.when(is_b, s).otherwise(F.expr("substring(t_s, 2, length(t_s) - 2)")).alias("cur_v"),
                 F.when(is_b, F.lit("bnode")).otherwise(F.lit("iri")).alias("cur_kind"),
-                _NULL.alias("cur_dt"),
-                _NULL.alias("cur_lang"),
+                _NULL().alias("cur_dt"),
+                _NULL().alias("cur_lang"),
             ]
         return joined.select(*[df[c] for c in term_cols("focus")], *new_cur)
 
@@ -404,13 +405,13 @@ class Engine:
         (ref: createResult, validation-engine.js:50-64)."""
         if path_col is None:
             path_col = (
-                F.lit(shape.path_node.encoded()) if shape.path_node is not None else _NULL
+                F.lit(shape.path_node.encoded()) if shape.path_node is not None else _NULL()
             )
         if value_cols is None:
             if with_value:
                 value_cols = [F.col(c) for c in term_cols("value")]
             else:
-                value_cols = [_NULL.alias(c) for c in term_cols("value")]
+                value_cols = [_NULL().alias(c) for c in term_cols("value")]
         if message_col is None:
             message_col = self._shape_message(shape)
         return df.select(
@@ -432,7 +433,7 @@ class Engine:
         # (not part of report comparison).
         if shape.messages:
             return F.lit(shape.messages[0].value)
-        return _NULL
+        return _NULL()
 
     def _num_param(self, t: Term) -> float | None:
         try:
@@ -890,7 +891,7 @@ def _impl_primarykey(eng, shape, c, targets, values):
         F.when(F.col("focus_kind") != "iri", F.lit("Must be an IRI"))
         .when(F.col("_cnt") != 1, F.lit("Must have exactly one value"))
         .when(F.col("focus_v") != expected, F.concat(F.lit("Does not have URI "), expected))
-        .otherwise(_NULL)
+        .otherwise(_NULL())
     )
     fail = frame.withColumn("_msg", msg).filter(F.col("_msg").isNotNull())
     return eng._rows(fail, shape, c.component.iri, with_value=False, message_col=F.col("_msg"))
@@ -1047,6 +1048,45 @@ _IMPLS = {
 
 # custom-component dispatch (registry.py) — attached to Engine here to keep
 # the impl table and the class in one module.
+def _node_label(t: Term, prefixes: dict) -> str:
+    """ref: nodeLabel (validation-engine.js:6-29)."""
+    if t.is_iri:
+        for p, ns in prefixes.items():
+            if t.value.startswith(ns):
+                return f"{p}:{t.value[len(ns):]}"
+        return f"<{t.value}>"
+    if t.is_bnode:
+        return "Blank node " + t.value
+    return t.value
+
+
+def _custom_default_message(self: Engine, shape, c) -> str | None:
+    """Validator-level (then component-level) sh:message with {$param}/{?param}
+    substitution (ref: createResultMessages + withSubstitutions,
+    validation-engine.js:149-173, 316-325)."""
+    comp_node = iri(c.component.iri)
+    msg = None
+    preds = ([SH + "propertyValidator", SH + "validator"] if shape.is_property_shape
+             else [SH + "nodeValidator", SH + "validator"])
+    for pred in preds:
+        for v in self.shapes.objects(comp_node, iri(pred)):
+            m = self.shapes.object(v, iri(SH + "message"))
+            if m is not None:
+                msg = m.value
+                break
+        if msg:
+            break
+    if msg is None:
+        m = self.shapes.object(comp_node, iri(SH + "message"))
+        msg = m.value if m is not None else None
+    if msg is None:
+        return None
+    for lname, val in c.params.items():
+        label = _node_label(val, self.shapes.prefixes)
+        msg = msg.replace("{$" + lname + "}", label).replace("{?" + lname + "}", label)
+    return msg
+
+
 def _custom(self: Engine, shape, c, targets, values, style):
     if self.registry is None:
         raise ShaclValidationError(
@@ -1058,7 +1098,19 @@ def _custom(self: Engine, shape, c, targets, values, style):
         raise ShaclValidationError(
             f"Cannot find validator for constraint component {c.component.iri}"
         )
-    return validator(self, shape, c, targets, values, style)
+    rows = validator(self, shape, c, targets, values, style)
+    if rows is None:
+        return None
+    shape_msg = shape.messages[0].value if shape.messages else None
+    default = _custom_default_message(self, shape, c)
+    return rows.withColumn(
+        "message",
+        F.coalesce(
+            F.col("message"),
+            F.lit(shape_msg) if shape_msg is not None else _NULL(),
+            F.lit(default) if default is not None else _NULL(),
+        ),
+    )
 
 
 Engine._custom = _custom
