@@ -1,0 +1,105 @@
+"""Entity canonicalization: connected components over an alias edge list via
+iterative hash-partitioned min-label propagation (north rule).
+
+Alias edges here: entities that share a surface form (the `_a`/`_b` candidate
+split of the lexicon), i.e. (ent_x_a, ent_x_b) — plus any extra edges the
+caller supplies (e.g. cross-surface sameAs evidence).
+
+Algorithm (the standard DataFrame CC skeleton, same family as
+large-star/small-star):
+
+    label(v) := v
+    repeat:
+        msg(v)   = min over neighbors u of label(u)
+        label(v) = min(label(v), msg(v))
+    until no label changes
+
+Each round is one shuffle on the edge list; lineage is cut every round with
+localCheckpoint.  Convergence in O(max component diameter) rounds — alias
+graphs are shallow (star-like), so 2-3 rounds in practice.
+
+Skew: a hot entity (one surface in 10% of docs) concentrates edges on one
+key.  Mitigations applied: (1) edges are deduplicated before iterating, so
+cardinality is bounded by the entity universe, not the corpus; (2) AQE skew
+join handles residual imbalance; (3) the label join is on entity_id (universe
+~lexicon-sized), broadcastable when small — the degenerate hot-key case never
+reaches the big corpus tables because canonical mapping is applied AFTER
+aggregation to distinct entities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .synth import ENTITY_LEXICON
+
+
+def alias_edges(spark: SparkSession, extra: DataFrame | None = None) -> DataFrame:
+    """(src, dst) undirected alias evidence from the lexicon candidate groups."""
+    rows = []
+    for surface, cands in ENTITY_LEXICON.items():
+        ids = [c[0] for c in cands]
+        for a, b in zip(ids, ids[1:]):
+            rows.append((a, b))
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    if extra is not None:
+        edges = edges.unionByName(extra)
+    return edges.distinct()
+
+
+def connected_components(
+    spark: SparkSession, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """-> (entity_id, canonical_id) with canonical_id = min member id."""
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = und.select(F.col("src").alias("entity_id")).distinct()
+    labels = nodes.withColumn("label", F.col("entity_id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = (
+            und.join(labels, und["src"] == labels["entity_id"], "inner")
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "entity_id", "left")
+            .select(
+                "entity_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "canonical_id")
+
+
+def canonicalize_triples(
+    spark: SparkSession, triples: DataFrame, mapping: DataFrame, entity_prefix: str
+) -> DataFrame:
+    """Rewrite entity IRIs in s and o through the canonical mapping.
+
+    mapping is entity-universe-sized (≪ corpus) -> broadcast joins; only IRIs
+    under entity_prefix are rewritten."""
+    m = mapping.select(
+        F.concat(F.lit(f"<{entity_prefix}"), "entity_id", F.lit(">")).alias("_old"),
+        F.concat(F.lit(f"<{entity_prefix}"), "canonical_id", F.lit(">")).alias("_new"),
+        F.concat(F.lit(entity_prefix), F.col("canonical_id")).alias("_new_v"),
+    )
+    out = (
+        triples.join(F.broadcast(m), triples["s"] == m["_old"], "left")
+        .withColumn("s", F.coalesce(F.col("_new"), F.col("s")))
+        .drop("_old", "_new", "_new_v")
+    )
+    out = (
+        out.join(F.broadcast(m), out["o"] == m["_old"], "left")
+        .withColumn("o", F.coalesce(F.col("_new"), F.col("o")))
+        .withColumn("o_v", F.coalesce(F.col("_new_v"), F.col("o_v")))
+        .drop("_old", "_new", "_new_v")
+    )
+    return out.dropDuplicates(["s", "p", "o"])

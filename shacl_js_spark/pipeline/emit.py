@@ -1,0 +1,139 @@
+"""Triple emission: linked mentions + doc/media metadata -> TRIPLE_SCHEMA rows.
+
+The construct-operator analog (ref: RDFQuery construct, src/rdfquery.js:311-357
+— triple templates over solutions), expressed as selects/unions over the link
+and span frames.  Emitted graph:
+
+    doc  rdf:type        ex:Document
+    doc  ex:language     "lang"
+    doc  ex:source       src IRI
+    doc  ex:mentions     entity           (distinct per doc)
+    doc  ex:hasMedia     media IRI        (from media spans)
+    media rdf:type       ex:Image/Audio/Video
+    ent  rdf:type        ex:Entity
+    ent  rdfs:label      "surface"        (per surface that links to it)
+    entA ex:coOccursWith entB             (A < B, same doc, distinct)
+
+co-occurrence is the shuffle-heavy stage (self-join per doc); at scale the
+doc->entity frame is pre-aggregated (collect_set per doc) so the pair
+explosion happens map-side from grouped rows, not via a row-level self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import TRIPLE_FIELDS
+from ..terms import NAMESPACES
+
+EX = "http://example.org/kg#"
+RDF_TYPE = NAMESPACES["rdf"] + "type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+XSD_STRING = NAMESPACES["xsd"] + "string"
+
+G = "urn:x-shacl:dataGraph"
+
+
+def _iri(col):
+    return F.concat(F.lit("<"), col, F.lit(">"))
+
+
+def _lit_cols(value_col):
+    """o-columns for a plain string literal object."""
+    return [
+        F.concat(F.lit('"'), F.regexp_replace(value_col, '(["\\\\])', r"\\$1"), F.lit('"')).alias("o"),
+        value_col.alias("o_v"),
+        F.lit("literal").alias("o_kind"),
+        F.lit(XSD_STRING).alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+    ]
+
+
+def _iri_cols(value_col):
+    return [
+        _iri(value_col).alias("o"),
+        value_col.alias("o_v"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+    ]
+
+
+def _triple(df, s_col, p_iri: str, o_cols) -> DataFrame:
+    return df.select(
+        _iri(s_col).alias("s"),
+        F.lit(f"<{p_iri}>").alias("p"),
+        *o_cols,
+        F.lit(G).alias("g"),
+    ).select(*TRIPLE_FIELDS)
+
+
+def emit_triples(
+    spark: SparkSession, docs: DataFrame, links: DataFrame
+) -> DataFrame:
+    doc_iri = F.concat(F.lit(EX + "doc/"), F.col("doc_id"))
+    ent_iri = F.concat(F.lit(EX + "entity/"), F.col("entity_id"))
+
+    doc_meta = docs.select("doc_id", "lang", "source")
+    parts = [
+        _triple(doc_meta, doc_iri, RDF_TYPE, _iri_cols(F.lit(EX + "Document"))),
+        _triple(doc_meta, doc_iri, EX + "language", _lit_cols(F.col("lang"))),
+        _triple(
+            doc_meta, doc_iri, EX + "source",
+            _iri_cols(F.concat(F.lit(EX + "source/"), F.col("source"))),
+        ),
+    ]
+
+    doc_ents = links.select("doc_id", "entity_id").distinct()
+    parts.append(_triple(doc_ents, doc_iri, EX + "mentions", _iri_cols(ent_iri)))
+
+    ents = links.select("entity_id", "surface").distinct()
+    parts.append(_triple(ents, ent_iri, RDF_TYPE, _iri_cols(F.lit(EX + "Entity"))))
+    parts.append(_triple(ents, ent_iri, RDFS_LABEL, _lit_cols(F.col("surface"))))
+
+    # media spans
+    media = (
+        docs.select("doc_id", F.explode("spans").alias("span"))
+        .filter(F.col("span.kind") != "text")
+        .select(
+            "doc_id",
+            F.col("span.media_ref").alias("media_ref"),
+            F.initcap(F.col("span.kind")).alias("media_kind"),
+        )
+    )
+    media_iri = F.concat(F.lit(EX + "media/"), F.sha1(F.col("media_ref")))
+    parts.append(_triple(media, doc_iri, EX + "hasMedia", _iri_cols(media_iri)))
+    parts.append(
+        _triple(
+            media, media_iri, RDF_TYPE,
+            _iri_cols(F.concat(F.lit(EX), F.col("media_kind"))),
+        )
+    )
+
+    # co-occurrence: grouped per doc, pairs exploded map-side from the set
+    grouped = doc_ents.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("entity_id")).alias("ents")
+    )
+    pairs = grouped.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ents"), i + 2, F.size("ents")),
+                        lambda b: F.struct(a.alias("ea"), b.alias("eb")),
+                    ),
+                )
+            )
+        ).alias("pair"),
+    ).select(F.col("pair.ea").alias("ea"), F.col("pair.eb").alias("eb")).distinct()
+    ea_iri = F.concat(F.lit(EX + "entity/"), F.col("ea"))
+    eb_iri = F.concat(F.lit(EX + "entity/"), F.col("eb"))
+    parts.append(_triple(pairs, ea_iri, EX + "coOccursWith", _iri_cols(eb_iri)))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

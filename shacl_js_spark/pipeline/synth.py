@@ -1,0 +1,111 @@
+"""Deterministic interleaved-documents synthesis.
+
+Produces the north-rule input table
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+derived 1:1 from the driver-provided ``documents.parquet`` (doc_id, text,
+lang, source, n_chars) at a scale factor — no external data, fully
+deterministic (seeded by doc_id content, not RNG state), so every run and
+every parallelism level sees identical bytes.
+
+Text spans are fixed-size token windows of the source text; a media span
+(image/audio/video, media_ref = media://<doc>/<i>) is interleaved after every
+other text span.  `offset` is the running character offset, making
+span-sequence order reconstructible — the per-row invariant
+(kind, text, media_ref, offset order) that every downstream stage must
+preserve (BASELINE.json input_hint).
+
+Implementation is pure Spark SQL (split + transform/filter + sequence higher-
+order functions); no Python in the row path, so it scales with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKENS_PER_SPAN = 8
+MEDIA_EVERY = 2  # a media span after every 2nd text span
+MEDIA_KINDS = ["image", "audio", "video"]
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+# Fixed entity lexicon over the synthetic corpus vocabulary (TESTDATA.md).
+# surface -> [(entity_id, prior)] — multiple candidates force real linking.
+_VOCAB = [
+    "spark", "join", "filter", "window", "stream", "batch", "query", "table",
+    "scan", "merge", "sort", "hash", "group", "order", "key", "value",
+    "row", "data", "customer", "line", "part", "small", "fast", "slow", "the",
+]
+ENTITY_LEXICON: dict[str, list[tuple[str, float]]] = {}
+for _i, _w in enumerate(_VOCAB):
+    # two candidate entities per surface; deterministic priors
+    ENTITY_LEXICON[_w] = [
+        (f"ent_{_w}_a", 0.6 + (_i % 3) * 0.05),
+        (f"ent_{_w}_b", 0.5 + (_i % 5) * 0.04),
+    ]
+
+
+def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read <sf_dir>/documents.parquet -> interleaved spans table."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return raw_to_interleaved(raw)
+
+
+def raw_to_interleaved(raw: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(TOKENS_PER_SPAN)).cast("int")
+    doc = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+
+    # text spans: i-th window of TOKENS_PER_SPAN tokens
+    text_spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(
+                " ", F.slice(toks, i * TOKENS_PER_SPAN + 1, TOKENS_PER_SPAN)
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i * TOKENS_PER_SPAN).cast("int").alias("offset"),
+        ),
+    )
+    # deterministic media spans interleaved after every MEDIA_EVERY text spans
+    n_media = (n_spans / F.lit(MEDIA_EVERY)).cast("int")
+    media_spans = F.transform(
+        F.sequence(F.lit(1), n_media),
+        lambda j: F.struct(
+            F.element_at(
+                F.array(*[F.lit(k) for k in MEDIA_KINDS]),
+                ((F.xxhash64(doc, j) % 3 + 3) % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("media://"), doc, F.lit("/"), j.cast("string")).alias("media_ref"),
+            (j * TOKENS_PER_SPAN * MEDIA_EVERY).cast("int").alias("offset"),
+        ),
+    )
+    spans = F.array_sort(
+        F.concat(text_spans, F.coalesce(media_spans, F.array())),
+        # stable order: by offset, text spans before media at equal offset
+        lambda a, b: F.when(a["offset"] != b["offset"], a["offset"] - b["offset"]).otherwise(
+            F.when(a["kind"] == b["kind"], F.lit(0)).otherwise(
+                F.when(a["kind"] == "text", F.lit(-1)).otherwise(F.lit(1))
+            )
+        ),
+    )
+    return raw.select(
+        doc.alias("doc_id"),
+        spans.cast(SPAN_SCHEMA).alias("spans"),
+        F.col("lang"),
+        F.col("source"),
+    )
+
+
+def lexicon_df(spark: SparkSession) -> DataFrame:
+    """Broadcastable candidate table: (surface, entity_id, prior)."""
+    rows = [
+        (surface, ent, prior)
+        for surface, cands in ENTITY_LEXICON.items()
+        for (ent, prior) in cands
+    ]
+    return spark.createDataFrame(rows, "surface string, entity_id string, prior double")

@@ -1,0 +1,194 @@
+"""KG pipeline tests (SURVEY.md §5.2 item 3-4): span-sequence invariant,
+triple P/R vs a pure-pandas oracle of the same extraction rules, connected
+components vs a union-find oracle, idempotent resume, and that the SHACL
+validate stage actually rejects corrupt graphs."""
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_js_spark.graph import TRIPLE_SCHEMA
+from shacl_js_spark.localgraph import LocalGraph
+from shacl_js_spark.pipeline.canonicalize import (
+    alias_edges,
+    canonicalize_triples,
+    connected_components,
+)
+from shacl_js_spark.pipeline.emit import EX, emit_triples
+from shacl_js_spark.pipeline.extract import explode_spans, extract_mentions
+from shacl_js_spark.pipeline.link import link_entities
+from shacl_js_spark.pipeline.materialize import KG_SHAPES_TTL, PipelineRunner, run_pipeline
+from shacl_js_spark.pipeline.synth import ENTITY_LEXICON, interleaved_documents
+from shacl_js_spark.validation import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return interleaved_documents(spark, SF).cache()
+
+
+def test_span_sequence_invariant(spark, docs):
+    """(kind, text, media_ref, order) must reconstruct the source text
+    (BASELINE.json input_hint per-row invariant)."""
+    raw = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    rebuilt = (
+        explode_spans(docs)
+        .filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("offset", "text"))).getField("text")).alias("rebuilt"))
+    )
+    joined = raw.join(rebuilt, "doc_id")
+    bad = joined.filter(F.col("text") != F.col("rebuilt")).count()
+    assert bad == 0
+    # spans strictly ordered by (offset, kind) within each doc
+    spans = explode_spans(docs)
+    disorder = (
+        spans.withColumn(
+            "prev_off",
+            F.lag("offset").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "doc_id"
+                ).orderBy("span_idx")
+            ),
+        )
+        .filter(F.col("prev_off").isNotNull() & (F.col("offset") < F.col("prev_off")))
+        .count()
+    )
+    assert disorder == 0
+
+
+def test_determinism_across_runs(spark):
+    a = interleaved_documents(spark, SF)
+    b = interleaved_documents(spark, SF)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_triples_vs_pandas_oracle(spark, docs):
+    """P/R >= 0.95 (should be 1.0) for doc->mentions triples vs an independent
+    pandas implementation of the same lexicon+argmax rules."""
+    mentions = extract_mentions(spark, docs)
+    links = link_entities(spark, mentions)
+    got = {
+        (r["doc_id"], r["entity_id"])
+        for r in links.select("doc_id", "entity_id").distinct().collect()
+    }
+
+    # independent oracle: mention detection in pandas over the raw table;
+    # the argmax affinity is recomputed via Spark's xxhash64 on a driver-built
+    # frame so the oracle shares only the hash function, not the pipeline code
+    raw = pd.read_parquet(f"{SF}/documents.parquet")
+    cand_rows = [
+        (s, e, p) for s, cs in ENTITY_LEXICON.items() for (e, p) in cs
+    ]
+    surf2cands = {}
+    for s, e, p in cand_rows:
+        surf2cands.setdefault(s, []).append((e, p))
+    pairs = set()
+    for _, row in raw.iterrows():
+        doc = f"doc-{row.doc_id}"
+        for tok in str(row.text).split(" "):
+            if tok in surf2cands:
+                pairs.add((doc, tok))
+    pairs = sorted(pairs)
+    pair_df = spark.createDataFrame(pairs, "doc_id string, surface string")
+    cands_df = spark.createDataFrame(cand_rows, "surface string, entity_id string, prior double")
+    scored = pair_df.join(cands_df, "surface").withColumn(
+        "score",
+        F.col("prior") + 0.2 * (F.pmod(F.xxhash64("doc_id", "entity_id"), F.lit(1000)) / 1000.0),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id", "surface").orderBy(F.col("score").desc(), F.col("entity_id"))
+    expected = {
+        (r["doc_id"], r["entity_id"])
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1").select("doc_id", "entity_id").distinct().collect()
+    }
+    tp = len(got & expected)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(expected), 1)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"), ("g", "h"), ("h", "i"), ("i", "g")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["entity_id"], r["canonical_id"])
+        for r in connected_components(spark, df).collect()
+    }
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    # canonical = min of component
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = set()
+    for root, members in comp.items():
+        m = min(members)
+        for n in members:
+            expected.add((n, m))
+    assert got == expected
+
+
+def test_resume_skips_committed_stages(spark, tmp_path):
+    out = str(tmp_path / "kg")
+    res1 = run_pipeline(spark, SF, out, validate=False)
+    n1 = res1["triples"].count()
+    runner = PipelineRunner(spark, out)
+    assert runner.stage_committed("triples")
+    chk1 = runner.metrics("triples").collect()[0]["checksum"]
+    # re-run: all stages committed -> must read back, not recompute
+    calls = {"n": 0}
+    def must_not_run():
+        calls["n"] += 1
+        raise AssertionError("stage recomputed despite committed lineage")
+    df = runner.run("triples", must_not_run)
+    assert calls["n"] == 0 and df.count() == n1
+    res2 = run_pipeline(spark, SF, out, validate=False)
+    assert res2["triples"].count() == n1
+    chk2 = PipelineRunner(spark, out).metrics("triples").collect()[0]["checksum"]
+    assert chk1 == chk2
+    # force recompute after deleting lineage -> identical checksum (idempotent)
+    shutil.rmtree(f"{out}/_lineage/triples")
+    assert not runner.stage_committed("triples")
+
+
+def test_validation_catches_corrupt_graph(spark, docs):
+    mentions = extract_mentions(spark, docs.limit(30))
+    links = link_entities(spark, mentions)
+    triples = emit_triples(spark, docs.limit(30), links)
+    mapping = connected_components(spark, alias_edges(spark))
+    triples = canonicalize_triples(spark, triples, mapping, EX + "entity/")
+    # corrupt: a document mentioning a non-Entity node
+    bad = spark.createDataFrame(
+        [(
+            f"<{EX}doc/doc-0>", f"<{EX}mentions>", "<http://rogue.example/x>",
+            "http://rogue.example/x", "iri", None, None, "urn:x-shacl:dataGraph",
+        )],
+        TRIPLE_SCHEMA,
+    )
+    engine = Engine(spark, triples.unionByName(bad), LocalGraph.from_turtle(KG_SHAPES_TTL))
+    report = engine.validate()
+    comps = {r.component.split("#")[-1] for r in report.results()}
+    assert "ClassConstraintComponent" in comps
+    clean = Engine(spark, triples, LocalGraph.from_turtle(KG_SHAPES_TTL)).validate()
+    assert clean.conforms()
