@@ -1,0 +1,220 @@
+"""Deduplication operators over the `documents` table.
+
+Five families (SURVEY-mandated training-data ops):
+  * exact          hash-groupBy on a normalization key
+  * minhash + LSH  shingle -> minhash signature -> banded bucket join
+  * simhash        bitwise-majority fingerprint
+  * n-gram jaccard shingle self-join with document-frequency capping
+  * embedding cos  cosine near-duplicates over vector column
+
+Scale notes:
+  * all token/shingle explosion is map-side (posexplode of split); the only
+    shuffles are the final groupBys/self-joins on hash keys
+  * hot-shingle skew is capped explicitly (max_df filter) BEFORE the
+    self-join — the classic guard that keeps the pair explosion bounded by
+    max_df^2 per shingle instead of corpus^2
+  * hashing is md5-prefix -> bigint (portable across engines for the oracle);
+    at production scale swap for xxhash64 (same plan shape, cheaper hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 2147483647  # 2^31 - 1
+N_HASHES = 16
+LSH_BANDS = 8  # rows per band = N_HASHES // LSH_BANDS = 2
+
+
+def md5_int(col):
+    """Portable 32-bit hash: first 8 hex chars of md5 as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash_params(i: int) -> tuple[int, int]:
+    """Deterministic per-permutation coefficients (odd a)."""
+    return (2 * i + 1) * 2654435761 % MINHASH_P, (i * 40503 + 7) % MINHASH_P
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """n-gram (token-level) shingles, distinct per doc."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, key) -> DataFrame:
+    """Groups of documents sharing a normalization key (md5 hash-groupBy).
+    `key` is a Column producing the normalized text."""
+    return (
+        df.select("doc_id", F.md5(key).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- minhash + LSH ----------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES, shingle_n: int = 3) -> DataFrame:
+    """-> (doc_id, mh_0..mh_{n-1}) via n universal-hash permutations of the
+    shingle md5 hashes; min aggregated per doc (map-side partial agg)."""
+    sh = shingles(df, shingle_n).withColumn("h", md5_int(F.col("shingle")))
+    aggs = []
+    for i in range(n_hashes):
+        a, b = hash_params(i)
+        aggs.append(
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"mh_{i}")
+        )
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
+    """Band the signature; docs colliding in any band become candidate pairs
+    (a < b, distinct).  The band bucket join is the only shuffle."""
+    rows_per_band = n_hashes // bands
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        pieces.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
+    """LSH candidates verified with exact shingle jaccard."""
+    sigs = minhash_signatures(df, shingle_n=shingle_n)
+    cands = lsh_candidate_pairs(sigs)
+    sh = shingles(df, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # count shared shingles via join on shingle, restricted to LSH candidates
+    a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        cands.join(a_sh, "a").join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "a").join(nb, "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
+    """Bitwise-majority fingerprint over token hashes -> (doc_id, simhash)."""
+    toks = tokens(df).withColumn("h", md5_int(F.col("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, bits: int = 16) -> DataFrame:
+    return (
+        simhash(df, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- n-gram jaccard (no LSH; DF-capped shingle self-join) ---------------------
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int = 50) -> DataFrame:
+    """All-pairs jaccard via shingle self-join, with a document-frequency cap
+    on shingles (skew guard: a shingle seen in >max_df docs is dropped from
+    pair generation, like stopword shingles in dedup literature)."""
+    sh = shingles(df, n)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a_sh = rare.select(F.col("doc_id").alias("a"), "shingle")
+    b_sh = rare.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        a_sh.join(b_sh, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "a").join(nb, "b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --- embedding cosine ---------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9, block_on: str = "label") -> DataFrame:
+    """Near-duplicate vectors: cosine >= threshold.  Blocked self-join on a
+    coarse key (here the cluster label; at scale an IVF/LSH bucket) so the
+    pair explosion is per-block, never corpus^2."""
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), F.col(block_on).alias("blk"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), F.col(block_on).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

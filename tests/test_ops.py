@@ -1,0 +1,129 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_js_spark.ops.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup_groups,
+    minhash_jaccard_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+)
+from shacl_js_spark.ops.similarity import brute_force_topk, ivf_topk
+from shacl_js_spark.ops.text import fingerprint, lang_id, quality_score, token_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_detects_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "A  b c"), (4, "unique text")],
+        "doc_id long, text string",
+    )
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    groups = exact_dedup_groups(df, norm).collect()
+    assert len(groups) == 1 and sorted(groups[0]["doc_ids"]) == [1, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words appear in this sentence about spark plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_jaccard_pairs(df, threshold=0.4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_signature_identical_for_identical_text(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "x y z w v u t s")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df).collect()
+    a, b = sorted(sigs, key=lambda r: r["doc_id"])
+    assert all(a[f"mh_{i}"] == b[f"mh_{i}"] for i in range(16))
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    groups = simhash_dup_groups(df).collect()
+    assert any(set(g["doc_ids"]) == {1, 2} for g in groups)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs.limit(200), n=3, threshold=0.2, max_df=100)
+    for r in pairs.limit(5).collect():
+        assert 0.2 <= r["jaccard"] <= 1.0
+
+
+def test_embedding_cosine_pairs_blocked(spark, emb):
+    pairs = embedding_cosine_pairs(emb.limit(200), threshold=0.5)
+    rows = pairs.collect()
+    for r in rows:
+        assert r["cos"] >= 0.5
+
+
+def test_brute_force_topk(spark, emb):
+    top = brute_force_topk(emb, query_vec_id=0, k=5).collect()
+    assert len(top) == 5
+    sims = [r["cos"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["vec_id"] != 0 for r in top)
+
+
+def test_ivf_topk_matches_bruteforce_mostly(spark, emb):
+    bf = [r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(emb, 0, 10).collect()]
+    # IVF probes one bucket: recall is approximate but must overlap the exact
+    # top-10 for clustered data
+    assert len(set(bf) & set(ivf)) >= 3
+
+
+def test_text_ops(spark, docs):
+    ts = token_stats(docs.limit(50))
+    row = ts.filter(F.col("n_tokens") <= 0).count()
+    assert row == 0
+    q = quality_score(docs.limit(50)).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+    li = lang_id(docs.limit(50)).collect()
+    assert all(r["lang_pred"] in ("en", "sql", "data", "unk") for r in li)
+    fp = fingerprint(docs.limit(50))
+    assert fp.select("fp_md5").distinct().count() == 50
+
+
+def test_multimodal_plumbing(spark):
+    from shacl_js_spark.ops.multimodal import extract_features, frame_sample_plan, synth_media_table
+    from shacl_js_spark.pipeline.synth import interleaved_documents
+
+    docs = interleaved_documents(spark, SF).limit(20)
+    media = synth_media_table(docs)
+    n = media.count()
+    assert n > 0
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == n
+    assert all(len(r["feature"]) == 8 and r["n_bytes"] > 0 for r in rows)
+    frames = frame_sample_plan(media, every_ms=5000)
+    if media.filter(F.col("kind") == "video").count() > 0:
+        assert frames.count() > 0
