@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full KG-construction + SHACL validation on sf0.001,
+               returns the canonical triples DataFrame.
+queries()    — one entry per implemented operator family (SURVEY.md §2):
+               SHACL constraint validators (engine-run, SQL oracle), RDF query
+               operators (match/path algebra), KG pipeline stages, dedup /
+               similarity / text-analysis ops, windowed event analytics,
+               classic joins/aggregations.
+oracle_sql() — DuckDB-runnable ANSI SQL equivalents (same column names).
+
+Numeric discipline for the value-hash gate: money sums go through
+DECIMAL(38,2) (exact, engine-independent); float similarity is computed in
+double with identical operand order on both sides and rounded to 6 digits.
 """
 
 from __future__ import annotations
@@ -12,27 +19,842 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from shacl_js_spark.graph import TRIPLE_FIELDS, TRIPLE_SCHEMA
+from shacl_js_spark.localgraph import LocalGraph
+from shacl_js_spark.ops.dedup import (
+    LSH_BANDS,
+    MINHASH_P,
+    N_HASHES,
+    cosine,
+    embedding_cosine_pairs,
+    exact_dedup_groups,
+    hash_params,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from shacl_js_spark.ops.similarity import brute_force_topk, ivf_assign
+from shacl_js_spark.ops.text import fingerprint, lang_id, quality_score, token_stats
+from shacl_js_spark.pipeline.canonicalize import alias_edges, connected_components
+from shacl_js_spark.pipeline.synth import ENTITY_LEXICON, interleaved_documents, lexicon_df
+from shacl_js_spark.plans.query import RDFQueryDF
+from shacl_js_spark.shapes import Path
+from shacl_js_spark.validation import Engine
+
+EX = "http://ex/"
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _mk_triples(spark, rows_df) -> DataFrame:
+    """rows_df: (s_v, p_v, o enc parts) pre-built columns -> TRIPLE_SCHEMA."""
+    return rows_df.select(*TRIPLE_FIELDS)
+
+
+def _iri_triple(df, s_col, p_iri, o_col) -> DataFrame:
+    return df.select(
+        F.concat(F.lit("<"), s_col, F.lit(">")).alias("s"),
+        F.lit(f"<{p_iri}>").alias("p"),
+        F.concat(F.lit("<"), o_col, F.lit(">")).alias("o"),
+        o_col.alias("o_v"),
+        F.lit("iri").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("g").alias("g"),
+    )
+
+
+def _lit_triple(df, s_col, p_iri, o_col, dt="http://www.w3.org/2001/XMLSchema#string") -> DataFrame:
+    suffix = "" if dt.endswith("#string") else f"^^<{dt}>"
+    return df.select(
+        F.concat(F.lit("<"), s_col, F.lit(">")).alias("s"),
+        F.lit(f"<{p_iri}>").alias("p"),
+        F.concat(F.lit('"'), o_col, F.lit('"'), F.lit(suffix)).alias("o"),
+        o_col.alias("o_v"),
+        F.lit("literal").alias("o_kind"),
+        F.lit(dt).alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("g").alias("g"),
+    )
+
+
+def _customer_triples(spark, sf_dir) -> DataFrame:
+    """Shared tpch->RDF mapping used by the SHACL queries."""
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    o_cust_iri = F.concat(F.lit(EX + "c/"), F.col("o_custkey").cast("string"))
+    o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey").cast("string"))
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    parts = [
+        _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer")),
+        _lit_triple(cust, c_iri, EX + "name", F.col("c_name")),
+        _lit_triple(cust, c_iri, EX + "segment", F.col("c_mktsegment")),
+        _iri_triple(orders, o_cust_iri, EX + "order", o_iri),
+        # class hierarchy exercised by shacl_class: VIP ⊂ BigCustomer
+        _iri_triple(
+            cust.filter((F.col("c_acctbal") > 5000) & (F.col("c_acctbal") <= 9000)),
+            c_iri, rdf_type, F.lit(EX + "BigCustomer"),
+        ),
+        _iri_triple(cust.filter(F.col("c_acctbal") > 9000), c_iri, rdf_type, F.lit(EX + "VIP")),
+        _iri_triple(orders, o_iri, EX + "cust", o_cust_iri),
+        _iri_triple(orders, o_iri, rdf_type, F.lit(EX + "Order")),
+    ]
+    hier = spark.createDataFrame([(EX + "VIP", EX + "BigCustomer")], "a string, b string")
+    parts.append(
+        _iri_triple(hier, F.col("a"), "http://www.w3.org/2000/01/rdf-schema#subClassOf", F.col("b"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _shacl_violations(spark, sf_dir, shapes_ttl: str) -> DataFrame:
+    data = _customer_triples(spark, sf_dir)
+    engine = Engine(spark, data, LocalGraph.from_turtle(shapes_ttl))
+    return engine.report_df()
+
+
+_SHAPES_PREFIX = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://ex/> .
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full KG construction on sf0.001 + SHACL validation; returns the
+    canonical triples DataFrame (driver collects)."""
+    from shacl_js_spark.pipeline.canonicalize import canonicalize_triples
+    from shacl_js_spark.pipeline.emit import EX as KG_EX, emit_triples
+    from shacl_js_spark.pipeline.extract import extract_mentions
+    from shacl_js_spark.pipeline.link import link_entities
+    from shacl_js_spark.pipeline.materialize import KG_SHAPES_TTL
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = interleaved_documents(spark, sf_dir)
+    mentions = extract_mentions(spark, docs)
+    links = link_entities(spark, mentions)
+    raw = emit_triples(spark, docs, links)
+    mapping = connected_components(spark, alias_edges(spark))
+    triples = canonicalize_triples(spark, raw, mapping, KG_EX + "entity/")
+    report = Engine(spark, triples, LocalGraph.from_turtle(KG_SHAPES_TTL)).validate()
+    assert report.conforms(), f"KG graph failed SHACL validation: {report.results()[:3]}"
+    return triples
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_shacl_mincount(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ; sh:minCount 5 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus")).orderBy("focus")
+
+
+def q_shacl_maxcount(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ; sh:maxCount 14 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+def q_shacl_pattern(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:name ; sh:pattern "^Customer#0000000[0-4]" ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("bad_name"))
+
+
+def q_shacl_class(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:OrderShape a sh:NodeShape ; sh:targetClass ex:Order ;
+  sh:property [ sh:path ex:cust ; sh:class ex:BigCustomer ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("order_iri"), F.col("value_v").alias("cust_iri"))
+
+
+def q_shacl_in(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ; sh:in ( "BUILDING" "AUTOMOBILE" "MACHINERY" ) ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_range(spark, sf_dir):
+    li = _pq(spark, sf_dir, "lineitem")
+    li_iri = F.concat(
+        F.lit(EX + "li/"), F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    data = _iri_triple(li, li_iri, rdf_type, F.lit(EX + "Line")).unionByName(
+        _lit_triple(li, li_iri, EX + "qty",
+                    F.col("l_quantity").cast("decimal(12,1)").cast("string"),
+                    dt="http://www.w3.org/2001/XMLSchema#decimal")
+    )
+    ttl = _SHAPES_PREFIX + """
+ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
+  sh:property [ sh:path ex:qty ; sh:maxInclusive 25 ] .
+"""
+    engine = Engine(spark, data, LocalGraph.from_turtle(ttl))
+    return engine.report_df().select(
+        F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex")
+    )
+
+
+# --- RDF query operators ----------------------------------------------------
+
+def _geo_triples(spark, sf_dir) -> DataFrame:
+    cust = _pq(spark, sf_dir, "customer")
+    nat = _pq(spark, sf_dir, "nation")
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    n_of_c = F.concat(F.lit(EX + "n/"), F.col("c_nationkey").cast("string"))
+    n_iri = F.concat(F.lit(EX + "n/"), F.col("n_nationkey").cast("string"))
+    r_iri = F.concat(F.lit(EX + "r/"), F.col("n_regionkey").cast("string"))
+    parts = [
+        _iri_triple(cust, c_iri, EX + "inNation", n_of_c),
+        _iri_triple(nat, n_iri, EX + "inRegion", r_iri),
+        _lit_triple(nat, n_iri, EX + "name", F.col("n_name")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_rdf_bgp(spark, sf_dir):
+    data = _geo_triples(spark, sf_dir)
+    q = (
+        RDFQueryDF(spark, data)
+        .match("?c", f"<{EX}inNation>", "?n")
+        .match("?n", f"<{EX}inRegion>", "?r")
+        .match("?n", f"<{EX}name>", "?nm")
+    )
+    return q.sols.select(
+        F.col("c_v").alias("customer"),
+        F.col("r_v").alias("region"),
+        F.col("nm_v").alias("nation_name"),
+    )
+
+
+def q_rdf_path_seq(spark, sf_dir):
+    data = _geo_triples(spark, sf_dir)
+    p = Path("seq", children=(Path("pred", pred=EX + "inNation"), Path("pred", pred=EX + "inRegion")))
+    q = RDFQueryDF(spark, data).match("?c", f"<{EX}inNation>", None).distinct().path("?c", p, "?r")
+    return q.sols.select(F.col("c_v").alias("customer"), F.col("r_v").alias("region"))
+
+
+def q_rdf_path_zero_or_more(spark, sf_dir):
+    # parent chain: customer -inNation-> nation -inRegion-> region, as one
+    # 'parent' predicate; zeroOrMore reachability from each customer
+    cust = _pq(spark, sf_dir, "customer")
+    nat = _pq(spark, sf_dir, "nation")
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    n_of_c = F.concat(F.lit(EX + "n/"), F.col("c_nationkey").cast("string"))
+    n_iri = F.concat(F.lit(EX + "n/"), F.col("n_nationkey").cast("string"))
+    r_iri = F.concat(F.lit(EX + "r/"), F.col("n_regionkey").cast("string"))
+    data = _iri_triple(cust, c_iri, EX + "parent", n_of_c).unionByName(
+        _iri_triple(nat, n_iri, EX + "parent", r_iri)
+    )
+    p = Path("zeroOrMore", children=(Path("pred", pred=EX + "parent"),))
+    q = RDFQueryDF(spark, data).match("?x", f"<{EX}parent>", None).distinct().path("?x", p, "?y")
+    return q.sols.select(F.col("x_v").alias("start"), F.col("y_v").alias("reached"))
+
+
+def q_rdf_path_alt_inverse(spark, sf_dir):
+    data = _geo_triples(spark, sf_dir)
+    # alternative(inverse(inNation) | inRegion) from each nation: customers + region
+    p = Path("alt", children=(Path("inverse", pred=EX + "inNation"), Path("pred", pred=EX + "inRegion")))
+    q = RDFQueryDF(spark, data).match("?n", f"<{EX}inRegion>", None).distinct().path("?n", p, "?v")
+    return q.sols.select(F.col("n_v").alias("nation"), F.col("v_v").alias("linked"))
+
+
+# --- KG pipeline stages ------------------------------------------------------
+
+def q_kg_mentions(spark, sf_dir):
+    from shacl_js_spark.pipeline.extract import extract_mentions
+
+    docs = interleaved_documents(spark, sf_dir)
+    m = extract_mentions(spark, docs)
+    return m.groupBy("doc_id", "surface").agg(F.count("*").cast("bigint").alias("n"))
+
+
+def q_kg_links_prior(spark, sf_dir):
+    """Prior-only argmax linking (the SQL-checkable variant of link.py)."""
+    from shacl_js_spark.pipeline.extract import extract_mentions
+    from pyspark.sql import Window
+
+    docs = interleaved_documents(spark, sf_dir)
+    m = extract_mentions(spark, docs).select("doc_id", "surface").distinct()
+    cands = lexicon_df(spark)
+    w = Window.partitionBy("doc_id", "surface").orderBy(F.col("prior").desc(), F.col("entity_id"))
+    return (
+        m.join(F.broadcast(cands), "surface")
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", "surface", "entity_id")
+    )
+
+
+def q_kg_cooccur(spark, sf_dir):
+    links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id").distinct()
+    a = links.select("doc_id", F.col("entity_id").alias("ea"))
+    b = links.select("doc_id", F.col("entity_id").alias("eb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def q_kg_canonical(spark, sf_dir):
+    return connected_components(spark, alias_edges(spark)).select("entity_id", "canonical_id")
+
+
+# --- dedup -------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4))
+    g = exact_dedup_groups(docs, key)
+    return g.select(
+        "dup_key",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.array_min("doc_ids").cast("bigint").alias("min_doc"),
+        F.array_max("doc_ids").cast("bigint").alias("max_doc"),
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents")
+    return minhash_signatures(docs).select(
+        "doc_id", *[F.col(f"mh_{i}").cast("bigint").alias(f"mh_{i}") for i in range(N_HASHES)]
+    )
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    return lsh_candidate_pairs(sigs).select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents")
+    return simhash(docs).select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=50).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _pq(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.45).select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+
+
+# --- similarity ---------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _pq(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_vec_id=0, k=10).select(
+        "vec_id", F.col("cos").cast("double").alias("cos")
+    )
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    emb = _pq(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, n_centroids=16).select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"))
+
+
+# --- text analysis --------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    return token_stats(_pq(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_tokens_bpe_est").cast("bigint").alias("n_tokens_bpe_est"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_score(_pq(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("quality").cast("double").alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    return lang_id(_pq(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return fingerprint(_pq(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+# --- events (windowed analytics) --------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = _pq(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _pq(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_sess").cast("bigint").alias("n_sessions"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+# --- classic joins/aggregations -----------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _pq(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast("decimal(38,4)"))
+            .cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_region_revenue(spark, sf_dir):
+    li = _pq(spark, sf_dir, "lineitem")
+    o = _pq(spark, sf_dir, "orders")
+    c = _pq(spark, sf_dir, "customer")
+    n = _pq(spark, sf_dir, "nation")
+    r = _pq(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(38,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+             F.count("*").cast("bigint").alias("n_items"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # SHACL constraint validators (engine-run; ref shared/dash.js)
+        "shacl_mincount": q_shacl_mincount,
+        "shacl_maxcount": q_shacl_maxcount,
+        "shacl_pattern": q_shacl_pattern,
+        "shacl_class": q_shacl_class,
+        "shacl_in": q_shacl_in,
+        "shacl_range": q_shacl_range,
+        # RDF query operators (ref src/rdfquery.js)
+        "rdf_bgp": q_rdf_bgp,
+        "rdf_path_seq": q_rdf_path_seq,
+        "rdf_path_zero_or_more": q_rdf_path_zero_or_more,
+        "rdf_path_alt_inverse": q_rdf_path_alt_inverse,
+        # KG pipeline stages (north rule)
+        "kg_mentions": q_kg_mentions,
+        "kg_links_prior": q_kg_links_prior,
+        "kg_cooccur": q_kg_cooccur,
+        "kg_canonical": q_kg_canonical,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        # text analysis
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        # events
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        # classic
+        "tpch_q1": q_tpch_q1,
+        "tpch_region_revenue": q_tpch_region_revenue,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL over pre-registered views)
+# --------------------------------------------------------------------------
+
+def _lexicon_values_sql() -> str:
+    rows = ", ".join(
+        f"('{s}', '{e}', {p})"
+        for s, cands in ENTITY_LEXICON.items()
+        for (e, p) in cands
+    )
+    return f"(VALUES {rows}) AS lex(surface, entity_id, prior)"
+
+
+def _alias_edges_values_sql() -> str:
+    rows = []
+    for s, cands in ENTITY_LEXICON.items():
+        ids = [c[0] for c in cands]
+        for a, b in zip(ids, ids[1:]):
+            rows.append(f"('{a}', '{b}')")
+    return f"(VALUES {', '.join(rows)}) AS e(src, dst)"
+
+
+# tokens of each doc (doc_id as 'doc-<id>'), mirroring span tokenization —
+# spans are token windows so the token multiset equals the raw split
+_TOKENS_SQL = (
+    "SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, tok "
+    "FROM documents, unnest(string_split(text, ' ')) AS t(tok) WHERE tok <> ''"
+)
+
+_MD5INT = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _shingles_sql() -> str:
+    return """
+        SELECT DISTINCT doc_id, list_aggregate(toks[i:i+2], 'string_agg', ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             unnest(range(1, greatest(len(toks) - 1, 1))) AS r(i)
+        WHERE list_aggregate(toks[i:i+2], 'string_agg', ' ') <> ''
     """
-    return {}
+
+
+def _minhash_sql() -> str:
+    mins = []
+    for i in range(N_HASHES):
+        a, b = hash_params(i)
+        mins.append(
+            f"min((({_MD5INT.format(x='shingle')} * {a} + {b}) % {MINHASH_P} + {MINHASH_P}) % {MINHASH_P}) AS mh_{i}"
+        )
+    return f"SELECT doc_id, {', '.join(mins)} FROM ({_shingles_sql()}) GROUP BY doc_id"
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = [
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    ]
+    sim = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM (
+          SELECT doc_id, {', '.join(sums)} FROM (
+            SELECT doc_id, {_MD5INT.format(x='tok')} AS h
+            FROM documents, unnest(string_split(text,' ')) AS t(tok) WHERE tok <> ''
+          ) GROUP BY doc_id)
+    """
+
+
+_DOT = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), x -> x[1]*x[2]))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lex = _lexicon_values_sql()
+    mentions_base = f"""
+        WITH toks AS ({_TOKENS_SQL}),
+        lexs AS (SELECT DISTINCT surface FROM {lex})
+        SELECT doc_id, tok AS surface FROM toks JOIN lexs ON toks.tok = lexs.surface
     """
-    return {}
+    links_prior = f"""
+        WITH m AS (SELECT DISTINCT doc_id, surface FROM ({mentions_base})),
+        l AS (SELECT * FROM {lex}),
+        scored AS (
+          SELECT m.doc_id, m.surface, l.entity_id,
+                 row_number() OVER (PARTITION BY m.doc_id, m.surface
+                                    ORDER BY l.prior DESC, l.entity_id) AS rk
+          FROM m JOIN l ON m.surface = l.surface
+        )
+        SELECT doc_id, surface, entity_id FROM scored WHERE rk = 1
+    """
+
+    return {
+        "shacl_mincount": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer c
+            WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) < 5
+            ORDER BY focus
+        """,
+        "shacl_maxcount": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer c
+            WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) > 14
+        """,
+        "shacl_pattern": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_name AS bad_name
+            FROM customer WHERE NOT regexp_matches(c_name, '^Customer#0000000[0-4]')
+        """,
+        "shacl_class": """
+            SELECT 'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS order_iri,
+                   'http://ex/c/' || CAST(o_custkey AS VARCHAR) AS cust_iri
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_acctbal <= 5000
+        """,
+        "shacl_in": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE','MACHINERY')
+        """,
+        "shacl_range": """
+            SELECT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                   CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty_lex
+            FROM lineitem WHERE NOT (l_quantity <= 25)
+        """,
+        "rdf_bgp": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS customer,
+                   'http://ex/r/' || CAST(n_regionkey AS VARCHAR) AS region,
+                   n_name AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "rdf_path_seq": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS customer,
+                   'http://ex/r/' || CAST(n_regionkey AS VARCHAR) AS region
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "rdf_path_zero_or_more": """
+            WITH c AS (SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS cid,
+                              'http://ex/n/' || CAST(c_nationkey AS VARCHAR) AS nid
+                       FROM customer),
+                 n AS (SELECT 'http://ex/n/' || CAST(n_nationkey AS VARCHAR) AS nid,
+                              'http://ex/r/' || CAST(n_regionkey AS VARCHAR) AS rid
+                       FROM nation),
+                 starts AS (SELECT DISTINCT cid AS x FROM c UNION SELECT DISTINCT nid FROM n)
+            SELECT x AS start, x AS reached FROM starts
+            UNION
+            SELECT cid, nid FROM c
+            UNION
+            SELECT nid, rid FROM n
+            UNION
+            SELECT c.cid, n.rid FROM c JOIN n ON c.nid = n.nid
+        """,
+        "rdf_path_alt_inverse": """
+            SELECT 'http://ex/n/' || CAST(n_nationkey AS VARCHAR) AS nation,
+                   'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS linked
+            FROM nation JOIN customer ON c_nationkey = n_nationkey
+            UNION
+            SELECT DISTINCT 'http://ex/n/' || CAST(n_nationkey AS VARCHAR),
+                   'http://ex/r/' || CAST(n_regionkey AS VARCHAR)
+            FROM nation
+        """,
+        "kg_mentions": f"""
+            SELECT doc_id, surface, CAST(count(*) AS BIGINT) AS n
+            FROM ({mentions_base}) GROUP BY doc_id, surface
+        """,
+        "kg_links_prior": links_prior,
+        "kg_cooccur": f"""
+            WITH links AS ({links_prior}),
+            de AS (SELECT DISTINCT doc_id, entity_id FROM links)
+            SELECT a.entity_id AS ea, b.entity_id AS eb, CAST(count(*) AS BIGINT) AS n_docs
+            FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+            GROUP BY ea, eb
+        """,
+        "kg_canonical": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst FROM {_alias_edges_values_sql()}
+            ),
+            und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT DISTINCT src AS n FROM und),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, u.dst FROM reach r JOIN und u ON r.m = u.src
+            )
+            SELECT n AS entity_id, min(m) AS canonical_id FROM reach GROUP BY n
+        """,
+        "dedup_exact": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5(list_aggregate(string_split(text,' ')[1:4], 'string_agg', ' ')) AS dup_key
+              FROM documents)
+            SELECT dup_key, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+            FROM keyed GROUP BY dup_key HAVING count(*) > 1
+        """,
+        "dedup_minhash": _minhash_sql(),
+        "dedup_lsh_pairs": f"""
+            WITH sigs AS ({_minhash_sql()}),
+            banded AS (
+              {' UNION ALL '.join(
+                  "SELECT doc_id, %d AS band, md5(CAST(mh_%d AS VARCHAR) || '_' || CAST(mh_%d AS VARCHAR)) AS bucket FROM sigs"
+                  % (b, 2 * b, 2 * b + 1)
+                  for b in range(LSH_BANDS)
+              )}
+            )
+            SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
+            FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_shingles_sql()}),
+            dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+            rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+            FROM shared JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+            WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) >= 0.3
+        """,
+        "dedup_embedding": f"""
+            SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, {_cos_sql('embedding', 'qe')} AS cos
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "ann_ivf_assign": f"""
+            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+            scored AS (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.centroid_id) AS rk
+              FROM embeddings e CROSS JOIN cents c)
+            SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM scored WHERE rk = 1
+        """,
+        "text_tokens": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok,
+                     length(text) AS n_chars,
+                     len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS n_stop,
+                     length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha,
+                     len(string_split(text,' ')) AS n_tok_all
+              FROM documents)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   round(
+                     0.4 * least(n_tok / 64.0, 1.0)
+                   + 0.2 * least((CAST(n_chars AS DOUBLE) / greatest(n_tok, 1)) / 8.0, 1.0)
+                   + 0.2 * (1 - least(CAST(n_stop AS DOUBLE) / greatest(n_tok_all, 1) * 4, 1.0))
+                   + 0.2 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1)), 6) AS quality
+            FROM t
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                 OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_region_revenue": """
+            SELECT r_name,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        # text_langid intentionally has no oracle: the chained-CASE argmax has
+        # engine-specific float-comparison corner cases; driver records the
+        # weaker rows-only check.
+    }
