@@ -120,7 +120,9 @@ def _customer_triples(spark, sf_dir) -> DataFrame:
 
 
 def _shacl_violations(spark, sf_dir, shapes_ttl: str) -> DataFrame:
-    data = _customer_triples(spark, sf_dir)
+    # persist the derived triples: the engine reads them several times
+    # (subclass-closure collect, target scan, per-constraint joins)
+    data = _customer_triples(spark, sf_dir).persist()
     engine = Engine(spark, data, LocalGraph.from_turtle(shapes_ttl))
     return engine.report_df()
 

@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline KG-construction pipeline + representative operator queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "triples": N, "triples_per_sec": N, ...}
+
+The kg_pipeline query is the BASELINE.md throughput number (triples/sec).
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("shacl_js_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def kg_pipeline_triples(spark, sf_dir: str) -> int:
+    """Full in-memory pipeline: synth -> extract -> link -> emit ->
+    canonicalize -> count (the headline triples/sec job)."""
+    from shacl_js_spark.pipeline.canonicalize import (
+        alias_edges,
+        canonicalize_triples,
+        connected_components,
+    )
+    from shacl_js_spark.pipeline.emit import EX, emit_triples
+    from shacl_js_spark.pipeline.extract import extract_mentions
+    from shacl_js_spark.pipeline.link import link_entities
+    from shacl_js_spark.pipeline.synth import interleaved_documents
+
+    # persist at the fan-out points: docs feeds extract + emit (meta/media
+    # branches), links feeds 4 emit branches — without this the window-join
+    # link stage re-executes once per union branch
+    docs = interleaved_documents(spark, sf_dir).persist()
+    mentions = extract_mentions(spark, docs)
+    links = link_entities(spark, mentions).persist()
+    raw = emit_triples(spark, docs, links)
+    mapping = connected_components(spark, alias_edges(spark))
+    triples = canonicalize_triples(spark, raw, mapping, EX + "entity/")
+    n = triples.count()
+    docs.unpersist()
+    links.unpersist()
+    return n
+
+
+def shacl_validate(spark, sf_dir: str) -> int:
+    """SHACL engine over tpch-derived triples (mincount+pattern+class)."""
+    import __spark_entry__ as entry
+
+    n = 0
+    for name in ("shacl_mincount", "shacl_class", "shacl_range"):
+        n += entry.queries()[name](spark, sf_dir).count()
+    return n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    n_triples = kg_pipeline_triples(spark, sf_dir)
+    timings["kg_pipeline"] = round(time.time() - t0, 3)
+    extras["triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+
+    t0 = time.time()
+    shacl_validate(spark, sf_dir)
+    timings["shacl_validate"] = round(time.time() - t0, 3)
+
+    for name in (
+        "dedup_minhash",
+        "dedup_lsh_pairs",
+        "dedup_ngram_jaccard",
+        "ann_topk",
+        "ann_ivf_assign",
+        "text_quality",
+        "events_hourly",
+        "events_sessions",
+        "tpch_q1",
+        "tpch_region_revenue",
+        "rdf_bgp",
+        "rdf_path_zero_or_more",
+        "kg_cooccur",
+    ):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg-construction triples/sec + operator suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, n_hashes: int =
     """Band the signature; docs colliding in any band become candidate pairs
     (a < b, distinct).  The band bucket join is the only shuffle."""
     rows_per_band = n_hashes // bands
+    sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
     pieces = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]

@@ -9,15 +9,16 @@ where doc_affinity is a stable hash-derived value in [0,1) — a deterministic
 stand-in for a context-similarity model that still exercises the real
 plumbing (broadcast candidate fan-out, per-mention argmax window).
 
-Argmax per mention via a window over (doc_id, span_idx, token_idx) ordered by
-(score desc, entity_id) — the tiebreak makes results reproducible at any
-parallelism.  Window partitions by doc_id-derived keys, so skew from hot
-surfaces stays bounded by documents-per-partition, not surface frequency.
+Argmax per mention via max(struct(score, entity_id)) aggregation — a single
+hash aggregation with map-side partial combine (no per-mention window sort;
+at 10^12 docs a row_number window over billions of 2-row partitions is pure
+shuffle+sort overhead).  Ties resolve to the larger entity_id —
+deterministic at any parallelism.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .synth import lexicon_df
@@ -31,11 +32,11 @@ def link_entities(spark: SparkSession, mentions: DataFrame) -> DataFrame:
         F.col("prior")
         + 0.2 * (F.pmod(F.xxhash64("doc_id", "entity_id"), F.lit(1000)) / 1000.0),
     )
-    w = Window.partitionBy("doc_id", "span_idx", "token_idx").orderBy(
-        F.col("score").desc(), F.col("entity_id")
+    best = scored.groupBy("doc_id", "span_idx", "token_idx", "surface", "offset").agg(
+        F.max(F.struct(F.col("score"), F.col("entity_id"))).alias("_best")
     )
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "prior")
+    return best.select(
+        "doc_id", "span_idx", "token_idx", "surface", "offset",
+        F.col("_best.entity_id").alias("entity_id"),
+        F.col("_best.score").alias("score"),
     )

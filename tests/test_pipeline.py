@@ -103,12 +103,12 @@ def test_triples_vs_pandas_oracle(spark, docs):
         "score",
         F.col("prior") + 0.2 * (F.pmod(F.xxhash64("doc_id", "entity_id"), F.lit(1000)) / 1000.0),
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("doc_id", "surface").orderBy(F.col("score").desc(), F.col("entity_id"))
+    # same argmax rule as link.py: max(struct(score, entity_id))
     expected = {
-        (r["doc_id"], r["entity_id"])
-        for r in scored.withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1").select("doc_id", "entity_id").distinct().collect()
+        (r["doc_id"], r["best"]["entity_id"])
+        for r in scored.groupBy("doc_id", "surface")
+        .agg(F.max(F.struct("score", "entity_id")).alias("best"))
+        .collect()
     }
     tp = len(got & expected)
     precision = tp / max(len(got), 1)
