@@ -200,10 +200,18 @@ class TargetSpec:
     nodes: list          # sh:targetNode values
     subjects_of: list    # sh:targetSubjectsOf predicates
     objects_of: list     # sh:targetObjectsOf predicates
+    # sh:target (e.g. dash:AllObjectsTarget): the reference lists such shapes
+    # as "with target" (shapes-graph.js:431) but getTargetNodes never
+    # evaluates sh:target (shapes-graph.js:317-345) -> contributes no focus
+    # nodes; reproduced for verdict parity.
+    has_sh_target: bool = False
 
     @property
     def empty(self) -> bool:
-        return not (self.classes or self.nodes or self.subjects_of or self.objects_of)
+        return not (
+            self.classes or self.nodes or self.subjects_of or self.objects_of
+            or self.has_sh_target
+        )
 
 
 class ShapesIR:
@@ -352,4 +360,5 @@ class ShapesIR:
             nodes=list(g.objects(node, iri(SH + "targetNode"))),
             subjects_of=list(g.objects(node, iri(SH + "targetSubjectsOf"))),
             objects_of=list(g.objects(node, iri(SH + "targetObjectsOf"))),
+            has_sh_target=g.has(node, iri(SH + "target"), None),
         )

@@ -1,0 +1,76 @@
+"""SHACLValidator facade: validate / graph swap / JSON-LD input /
+nodeConformsToShape / report sinks (ref: index.js API surface)."""
+
+from shacl_js_spark.report import report_triples_df
+from shacl_js_spark.terms import iri
+from shacl_js_spark.validator import SHACLValidator
+
+SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+
+DATA_BAD = """
+@prefix ex: <http://e/> .
+ex:a a ex:Person .
+ex:b a ex:Person ; ex:name "B" .
+"""
+
+DATA_GOOD = """
+@prefix ex: <http://e/> .
+ex:b a ex:Person ; ex:name "B" .
+"""
+
+DATA_JSONLD = """
+{
+  "@context": {"ex": "http://e/"},
+  "@graph": [
+    {"@id": "ex:a", "@type": "ex:Person"},
+    {"@id": "ex:b", "@type": "ex:Person", "ex:name": "B"}
+  ]
+}
+"""
+
+
+def test_validate_and_swap(spark):
+    v = SHACLValidator(spark)
+    report = v.validate(DATA_BAD, "text/turtle", SHAPES, "text/turtle")
+    assert not report.conforms()
+    assert len(report.results()) == 1
+    assert report.results()[0].focusNode() == "http://e/a"
+    # swap just the data graph (ref updateDataGraph)
+    v.update_data_graph(DATA_GOOD)
+    assert v._ensure_engine().validate().conforms()
+
+
+def test_jsonld_input(spark):
+    v = SHACLValidator(spark)
+    report = v.validate(DATA_JSONLD, "application/ld+json", SHAPES, "text/turtle")
+    assert not report.conforms()
+    assert report.results()[0].focusNode() == "http://e/a"
+
+
+def test_node_conforms(spark):
+    v = SHACLValidator(spark)
+    v.update_data_graph(DATA_BAD)
+    v.update_shapes_graph(SHAPES)
+    assert v.node_conforms_to_shape(iri("http://e/b"), iri("http://e/S"))
+    assert not v.node_conforms_to_shape(iri("http://e/a"), iri("http://e/S"))
+
+
+def test_report_sinks(spark):
+    v = SHACLValidator(spark)
+    v.update_data_graph(DATA_BAD)
+    v.update_shapes_graph(SHAPES)
+    report = v._ensure_engine().validate()
+    j = report.to_jsonld()
+    assert j["@graph"][0]["http://www.w3.org/ns/shacl#conforms"] is False
+    rt = report_triples_df(spark, v.report_df())
+    rows = rt.collect()
+    preds = {r["p"] for r in rows}
+    assert "<http://www.w3.org/ns/shacl#focusNode>" in preds
+    assert "<http://www.w3.org/ns/shacl#conforms>" in preds
+    conforms = [r for r in rows if r["p"].endswith("#conforms>")]
+    assert conforms[0]["o_v"] == "false"
