@@ -1,0 +1,15 @@
+"""Structured Streaming surface.
+
+The reference is single-shot batch (SURVEY.md §2.8) — its only incremental
+affordance is re-validation on graph swap (updateDataGraph, index.js:235-269).
+This package provides the streaming analogs:
+
+  incremental.IncrementalValidator — micro-batches of triples appended to the
+  graph; only focus nodes affected by each batch are re-validated.
+
+  events.windowed_counts — watermarked tumbling-window aggregation for
+  append streams (the canonical readStream -> window -> writeStream shape).
+"""
+
+from .incremental import IncrementalValidator
+from .events import windowed_counts
