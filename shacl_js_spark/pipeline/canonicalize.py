@@ -49,9 +49,38 @@ def alias_edges(spark: SparkSession, extra: DataFrame | None = None) -> DataFram
 
 
 def connected_components(
-    spark: SparkSession, edges: DataFrame, max_iter: int = 25
+    spark: SparkSession, edges: DataFrame, max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """-> (entity_id, canonical_id) with canonical_id = min member id."""
+    """-> (entity_id, canonical_id) with canonical_id = min member id.
+
+    Alias-evidence graphs are usually entity-universe-sized (≪ corpus); when
+    the edge list fits comfortably on the driver, a union-find there beats
+    paying ~2 Spark jobs per propagation round.  Past `driver_threshold`
+    edges the distributed min-label fixpoint below takes over (the path a
+    10^12-doc corpus with mined sameAs edges would exercise)."""
+    n_edges = edges.limit(driver_threshold).count()
+    if n_edges < driver_threshold:
+        rows = edges.collect()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[str, list[str]] = {}
+        for n in list(parent):
+            comp.setdefault(find(n), []).append(n)
+        out = [(n, min(members)) for root, members in comp.items() for n in members]
+        return spark.createDataFrame(out, "entity_id string, canonical_id string")
+
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -85,10 +85,12 @@ def emit_triples(
         ),
     ]
 
-    doc_ents = links.select("doc_id", "entity_id").distinct()
+    # no intermediate distinct(): the final canonicalize dropDuplicates(s,p,o)
+    # dedups globally — saves one shuffle + barrier per branch
+    doc_ents = links.select("doc_id", "entity_id")
     parts.append(_triple(doc_ents, doc_iri, EX + "mentions", _iri_cols(ent_iri)))
 
-    ents = links.select("entity_id", "surface").distinct()
+    ents = links.select("entity_id", "surface")
     parts.append(_triple(ents, ent_iri, RDF_TYPE, _iri_cols(F.lit(EX + "Entity"))))
     parts.append(_triple(ents, ent_iri, RDFS_LABEL, _lit_cols(F.col("surface"))))
 
@@ -111,7 +113,9 @@ def emit_triples(
         )
     )
 
-    # co-occurrence: grouped per doc, pairs exploded map-side from the set
+    # co-occurrence: grouped per doc (collect_set dedups within the group),
+    # pairs exploded map-side from the set, global dedup via partial-agg
+    # distinct (hot pairs combine map-side before the shuffle)
     grouped = doc_ents.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("entity_id")).alias("ents")
     )

@@ -216,6 +216,39 @@ class RDFQueryDF:
             joined = self.sols.crossJoin(pv.drop("_pf"))
         return self._with(joined, (ov,))
 
+    def construct(self, templates: list) -> DataFrame:
+        """Triple-emission terminal (ref: construct, rdfquery.js:311-357):
+        each template is an (s, p, o) tuple of '?var' or Terms; returns a
+        TRIPLE_SCHEMA DataFrame — the KG triple-emit stage shape."""
+        from ..graph import TRIPLE_FIELDS
+
+        parts = []
+        for (s, p, o) in templates:
+            def enc_col(arg, kind_needed=False):
+                if isinstance(arg, str) and arg.startswith("?"):
+                    v = arg[1:]
+                    return (F.col(v), F.col(f"{v}_v"), F.col(f"{v}_kind"),
+                            F.col(f"{v}_dt"), F.col(f"{v}_lang"))
+                t = _as_term(arg)
+                return (F.lit(t.encoded()), F.lit(t.value), F.lit(t.kind),
+                        F.lit(t.datatype).cast("string"), F.lit(t.lang).cast("string"))
+
+            se, _, _, _, _ = enc_col(s)
+            pe, _, _, _, _ = enc_col(p)
+            oe, ov, ok, od, ol = enc_col(o)
+            parts.append(
+                self.sols.select(
+                    se.alias("s"), pe.alias("p"), oe.alias("o"),
+                    ov.alias("o_v"), ok.alias("o_kind"),
+                    od.alias("o_dt"), ol.alias("o_lang"),
+                    F.lit("urn:x-shacl:constructed").alias("g"),
+                ).select(*TRIPLE_FIELDS)
+            )
+        out = parts[0]
+        for pdf in parts[1:]:
+            out = out.unionByName(pdf)
+        return out.dropDuplicates(["s", "p", "o"])
+
     # ------------------------------------------------------------- terminals
     def df(self) -> DataFrame:
         return self.sols.select(*[c for v in self.vars for c in term_cols(v)])

@@ -125,6 +125,10 @@ CORE_COMPONENTS: list[ComponentDef] = [
                  params={"uriStart": DASH + "uriStart"},
                  property_style=PER_FOCUS, node_style=None),
     _d("RootClass", ["rootClass"]),
+    # dead code in the reference (no jsFunctionName binding in its dash.ttl,
+    # validator kept at shared/dash.js:406-424 for TopBraid parity) —
+    # implemented here as a live component
+    _d("UniqueValueForClass", ["uniqueValueForClass"], prop=PER_FOCUS, node=None),
     _d("Stem", ["stem"]),
     _d("SubSetOf", ["subSetOf"]),
 ]

@@ -863,6 +863,29 @@ def _impl_coexistswith(eng, shape, c, targets, values):
     return eng._rows(fail, shape, c.component.iri, with_value=False)
 
 
+def _impl_uniquevalueforclass(eng, shape, c, targets, values):
+    # validateUniqueValueForClass (dash.js:406-424): violation per (other
+    # instance of the class sharing a path value, value) pair.  Self-join on
+    # the value column — the skew-prone join SURVEY §2.6 flags; the instance
+    # filter is applied BEFORE the join to bound the hot side.
+    if shape.path is None or not shape.path.is_simple_pred:
+        raise ShaclValidationError(
+            "dash:uniqueValueForClass requires a simple predicate path"
+        )
+    instances = eng.class_instances_df(c.param_value, "node").select("node")
+    others = (
+        eng.trips(f"<{shape.path.pred}>")
+        .join(F.broadcast(instances), F.col("t_s") == F.col("node"), "left_semi")
+        .select(F.col("t_s").alias("_other"), F.col("t_o").alias("_oval"))
+    )
+    fail = values.join(
+        others,
+        (values["value"] == others["_oval"]) & (values["focus"] != others["_other"]),
+        "inner",
+    )
+    return eng._rows(fail, shape, c.component.iri)
+
+
 def _impl_nonrecursive(eng, shape, c, targets, values):
     # validateNonRecursiveProperty (dash.js:280-289)
     if c.param_value != TRUE:
@@ -1039,6 +1062,7 @@ _IMPLS = {
     DASH + "CoExistsWithConstraintComponent": _impl_coexistswith,
     DASH + "HasValueWithClassConstraintComponent": _impl_hasvaluewithclass,
     DASH + "NonRecursiveConstraintComponent": _impl_nonrecursive,
+    DASH + "UniqueValueForClassConstraintComponent": _impl_uniquevalueforclass,
     DASH + "PrimaryKeyConstraintComponent": _impl_primarykey,
     DASH + "RootClassConstraintComponent": _impl_rootclass,
     DASH + "StemConstraintComponent": _impl_stem,

@@ -123,6 +123,12 @@ def test_connected_components_vs_union_find(spark):
         (r["entity_id"], r["canonical_id"])
         for r in connected_components(spark, df).collect()
     }
+    # distributed min-label path must agree with the driver union-find path
+    got_dist = {
+        (r["entity_id"], r["canonical_id"])
+        for r in connected_components(spark, df, driver_threshold=0).collect()
+    }
+    assert got == got_dist
     # union-find oracle
     parent = {}
     def find(x):
