@@ -19,7 +19,7 @@ from .graph import triples_df
 from .localgraph import LocalGraph
 from .report import ValidationReport
 from .shapes import SH
-from .terms import NAMESPACES, Term, iri
+from .terms import NAMESPACES, iri
 from .turtle import RDF_TYPE, parse_turtle
 from .validation import Engine
 

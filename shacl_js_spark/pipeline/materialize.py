@@ -19,7 +19,6 @@ tables (atomic snapshot commit replaces the _SUCCESS-marker protocol).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

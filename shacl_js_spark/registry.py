@@ -83,8 +83,6 @@ def _wrap_value_validator(fn: Callable):
         fails = fails.withColumn("_msg", F.when(F.col("_verdict") == "", None).otherwise(F.col("_verdict")))
         # rebuild the 5-col focus group (dt/lang null: custom components see
         # iri/bnode focus in practice; full fidelity via kind='frame')
-        from .graph import term_cols as _tc
-
         frame = fails.select(
             F.col("focus"),
             F.col("focus_v"),

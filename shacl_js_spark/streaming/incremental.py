@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph import TRIPLE_SCHEMA, subject_decomposed, object_decomposed
+from ..graph import subject_decomposed, object_decomposed
 from ..localgraph import LocalGraph
 from ..validation import RECORD_COLS, Engine
 

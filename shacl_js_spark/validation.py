@@ -24,8 +24,6 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-import re as _re
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -38,16 +36,7 @@ from .graph import (
     terms_frame,
 )
 from .localgraph import RDFS_SUBCLASSOF, LocalGraph
-from .shapes import (
-    DASH,
-    GENERIC,
-    PER_FOCUS,
-    SH,
-    Constraint,
-    Path,
-    Shape,
-    ShapesIR,
-)
+from .shapes import DASH, SH, Constraint, Path, Shape, ShapesIR
 from .terms import (
     NAMESPACES,
     TRUE,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .graph import DEFAULT_GRAPH, triples_df
+from .graph import triples_df
 from .jsonld import parse_jsonld
 from .localgraph import LocalGraph
 from .registry import ValidatorRegistry
