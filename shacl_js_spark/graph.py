@@ -115,6 +115,15 @@ def enc_iri(value: str) -> str:
     return f"<{value}>"
 
 
+def ntriples_lines(df: DataFrame) -> DataFrame:
+    """Serialize a TRIPLE_SCHEMA frame to N-Triples lines (one string column
+    'line').  The encoded term columns are already N-Triples lexical forms
+    (ref sink behavior: report graph -> N-Triples, index.js:168-175)."""
+    return df.select(
+        F.concat_ws(" ", F.col("s"), F.col("p"), F.col("o"), F.lit(".")).alias("line")
+    )
+
+
 # JS Number() coercion analog for numeric constraint params/values
 # (ref: shared/dash.js:223-249 uses Number($value.lex)):
 def js_number(col: Column) -> Column:

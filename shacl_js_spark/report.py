@@ -90,6 +90,14 @@ class ValidationReport:
         return f"ValidationReport(conforms={self.conforms()}, results={len(self._results)})"
 
 
+def report_ntriples(spark, report_df) -> list:
+    """Report graph serialized to N-Triples lines (ref: showValidationResults
+    serializes the report graph to N-Triples, index.js:168-175)."""
+    from .graph import ntriples_lines
+
+    return [r["line"] for r in ntriples_lines(report_triples_df(spark, report_df)).collect()]
+
+
 def report_triples_df(spark, report_df):
     """Materialize a report DataFrame as RDF triples (TRIPLE_SCHEMA) — the
     distributed analog of the reference's report graph construction

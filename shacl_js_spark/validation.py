@@ -114,6 +114,42 @@ def _js_regex_to_java(pattern: str, flags: str | None) -> str:
 _INT_LEX = r"^\s*[+-]?[0-9]"          # JS parseInt(lex) not NaN
 _FLOAT_LEX = r"^\s*[+-]?([0-9]|\.[0-9])"  # JS parseFloat(lex) not NaN
 
+# Default result messages — vocabulary DATA from the Apache-2.0 DASH
+# vocabulary validator declarations (vocabularies/dash.ttl, used by
+# createResultMessages when neither shape nor validator overrides,
+# validation-engine.js:149-173).  {$param}/{?param} substituted driver-side.
+DEFAULT_MESSAGES: dict[str, str] = {
+    SH + "DatatypeConstraintComponent": "Value does not have datatype {$datatype}",
+    SH + "HasValueConstraintComponent": "Value must be {$hasValue}",
+    SH + "InConstraintComponent": "Value is not in {$in}",
+    SH + "LanguageInConstraintComponent": "Language does not match any of {$languageIn}",
+    SH + "LessThanConstraintComponent": "Value is not < value of {$lessThan}",
+    SH + "LessThanOrEqualsConstraintComponent": "Value is not <= value of {$lessThanOrEquals}",
+    SH + "MaxCountConstraintComponent": "More than {$maxCount} values",
+    SH + "MaxExclusiveConstraintComponent": "Value is not < {$maxExclusive}",
+    SH + "MaxInclusiveConstraintComponent": "Value is not <= {$maxInclusive}",
+    SH + "MaxLengthConstraintComponent": "Value has more than {$maxLength} characters",
+    SH + "MinCountConstraintComponent": "Less than {$minCount} values",
+    SH + "MinExclusiveConstraintComponent": "Value is not > {$minExclusive}",
+    SH + "MinInclusiveConstraintComponent": "Value is not >= {$minInclusive}",
+    SH + "MinLengthConstraintComponent": "Value has less than {$minLength} characters",
+    SH + "NodeConstraintComponent": "Value does not have shape {$node}",
+    SH + "NodeKindConstraintComponent": "Value does not have node kind {$nodeKind}",
+    SH + "NotConstraintComponent": "Value does have shape {$not}",
+    SH + "PatternConstraintComponent": 'Value does not match pattern "{$pattern}"',
+    SH + "QualifiedMaxCountConstraintComponent":
+        "More than {$qualifiedMaxCount} values have shape {$qualifiedValueShape}",
+    SH + "QualifiedMinCountConstraintComponent":
+        "Less than {$qualifiedMinCount} values have shape {$qualifiedValueShape}",
+    DASH + "CoExistsWithConstraintComponent": "Values must co-exist with values of {$coExistsWith}",
+    DASH + "HasValueWithClassConstraintComponent":
+        "At least one of the values must have class {$hasValueWithClass}",
+    DASH + "NonRecursiveConstraintComponent": "Points back at itself (recursively)",
+    DASH + "PrimaryKeyConstraintComponent": "Violation of primary key constraint",
+    DASH + "RootClassConstraintComponent": "Value must be subclass of {$rootClass}",
+    DASH + "StemConstraintComponent": "Value does not have stem {$stem}",
+}
+
 
 class Engine:
     def __init__(
@@ -454,7 +490,28 @@ class Engine:
             raise ShaclValidationError(
                 f"Cannot find validator for constraint component {comp.iri}"
             )
-        return impl(self, shape, c, targets, values)
+        rows = impl(self, shape, c, targets, values)
+        if rows is not None:
+            default = self._default_message(shape, c)
+            if default is not None:
+                rows = rows.withColumn(
+                    "message", F.coalesce(F.col("message"), F.lit(default))
+                )
+        return rows
+
+    def _default_message(self, shape: Shape, c: Constraint) -> str | None:
+        """Component default message with {$param}/{?param} substitution
+        (ref: createResultMessages + withSubstitutions,
+        validation-engine.js:149-173, 316-325)."""
+        msg = DEFAULT_MESSAGES.get(c.component.iri)
+        if msg is None:
+            return None
+        for lname, val in c.params.items():
+            if val is None:
+                continue
+            label = _node_label(val, self.shapes.prefixes)
+            msg = msg.replace("{$" + lname + "}", label).replace("{?" + lname + "}", label)
+        return msg
 
     # ---------------------------------------------------- constraint impls --
     # Each returns a violation frame or None. Citations point at the verdict
