@@ -215,11 +215,13 @@ def q_shacl_range(spark, sf_dir):
         F.col("l_linenumber").cast("string"),
     )
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data; RDF
+    # graphs have set semantics, so dedup the mapped triples
     data = _iri_triple(li, li_iri, rdf_type, F.lit(EX + "Line")).unionByName(
         _lit_triple(li, li_iri, EX + "qty",
                     F.col("l_quantity").cast("decimal(12,1)").cast("string"),
                     dt="http://www.w3.org/2001/XMLSchema#decimal")
-    )
+    ).dropDuplicates(["s", "p", "o"])
     ttl = _SHAPES_PREFIX + """
 ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
   sh:property [ sh:path ex:qty ; sh:maxInclusive 25 ] .
@@ -228,6 +230,122 @@ ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
     return engine.report_df().select(
         F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex")
     )
+
+
+def _tag_triples(spark, sf_dir) -> DataFrame:
+    """customers with two comparable tag properties + typed refs for the
+    equals/disjoint/nodeKind/uniqueLang/lessThan constraint queries."""
+    cust = _pq(spark, sf_dir, "customer")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    tag2 = F.when(F.col("c_acctbal") > 0, F.col("c_mktsegment")).otherwise(F.lit("NONE"))
+    lang1 = F.lit("en")
+    lang2 = F.when(F.col("c_acctbal") > 5000, F.lit("en")).otherwise(F.lit("de"))
+
+    def lang_triple(o_col, lang_col):
+        return cust.select(
+            F.concat(F.lit("<"), c_iri, F.lit(">")).alias("s"),
+            F.lit(f"<{EX}label>").alias("p"),
+            F.concat(F.lit('"'), o_col, F.lit('"@'), lang_col).alias("o"),
+            o_col.alias("o_v"),
+            F.lit("literal").alias("o_kind"),
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString").alias("o_dt"),
+            lang_col.alias("o_lang"),
+            F.lit("g").alias("g"),
+        ).select(*TRIPLE_FIELDS)
+
+    parts = [
+        _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer")),
+        _lit_triple(cust, c_iri, EX + "tag1", F.col("c_mktsegment")),
+        _lit_triple(cust, c_iri, EX + "tag2", tag2),
+        lang_triple(F.col("c_name"), lang1),
+        lang_triple(F.col("c_mktsegment"), lang2),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _tag_violations(spark, sf_dir, ttl_body: str) -> DataFrame:
+    data = _tag_triples(spark, sf_dir).persist()
+    return Engine(spark, data, LocalGraph.from_turtle(_SHAPES_PREFIX + ttl_body)).report_df()
+
+
+def q_shacl_equals(spark, sf_dir):
+    v = _tag_violations(spark, sf_dir, """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:tag1 ; sh:equals ex:tag2 ] .
+""")
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_shacl_disjoint(spark, sf_dir):
+    v = _tag_violations(spark, sf_dir, """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:tag1 ; sh:disjoint ex:tag2 ] .
+""")
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_shacl_uniquelang(spark, sf_dir):
+    v = _tag_violations(spark, sf_dir, """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:label ; sh:uniqueLang true ] .
+""")
+    return v.select(F.col("focus_v").alias("focus"), F.col("message").alias("message"))
+
+
+def q_shacl_nodekind(spark, sf_dir):
+    orders = _pq(spark, sf_dir, "orders")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey").cast("string"))
+    is_f = F.col("o_orderstatus") == "F"
+    ref = orders.select(
+        F.concat(F.lit("<"), o_iri, F.lit(">")).alias("s"),
+        F.lit(f"<{EX}ref>").alias("p"),
+        F.when(is_f, F.concat(F.lit("<"), F.lit(EX + "r/"), F.col("o_orderkey").cast("string"), F.lit(">")))
+        .otherwise(F.concat(F.lit('"'), F.col("o_orderstatus"), F.lit('"'))).alias("o"),
+        F.when(is_f, F.concat(F.lit(EX + "r/"), F.col("o_orderkey").cast("string")))
+        .otherwise(F.col("o_orderstatus")).alias("o_v"),
+        F.when(is_f, F.lit("iri")).otherwise(F.lit("literal")).alias("o_kind"),
+        F.when(is_f, F.lit(None).cast("string"))
+        .otherwise(F.lit("http://www.w3.org/2001/XMLSchema#string")).alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("g").alias("g"),
+    ).select(*TRIPLE_FIELDS)
+    data = _iri_triple(orders, o_iri, rdf_type, F.lit(EX + "Order")).unionByName(ref)
+    ttl = _SHAPES_PREFIX + """
+ex:OrderShape a sh:NodeShape ; sh:targetClass ex:Order ;
+  sh:property [ sh:path ex:ref ; sh:nodeKind sh:IRI ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_shacl_lessthan(spark, sf_dir):
+    li = _pq(spark, sf_dir, "lineitem")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    li_iri = F.concat(
+        F.lit(EX + "li/"), F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    qty = F.col("l_quantity").cast("decimal(12,1)").cast("string")
+    tax = F.col("l_tax").cast("decimal(12,2)").cast("string")
+    data = (
+        _iri_triple(li, li_iri, rdf_type, F.lit(EX + "Line"))
+        .unionByName(_lit_triple(li, li_iri, EX + "qty", qty, dt=dec))
+        .unionByName(_lit_triple(li, li_iri, EX + "tax", tax, dt=dec))
+        .dropDuplicates(["s", "p", "o"])  # RDF set semantics (dup source keys)
+    )
+    # sh:lessThan uses STRING comparison (compareTerms; SURVEY §1.3)
+    ttl = _SHAPES_PREFIX + """
+ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
+  sh:property [ sh:path ex:qty ; sh:lessThan ex:tax ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex"))
 
 
 # --- RDF query operators ----------------------------------------------------
@@ -510,6 +628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_class": q_shacl_class,
         "shacl_in": q_shacl_in,
         "shacl_range": q_shacl_range,
+        "shacl_equals": q_shacl_equals,
+        "shacl_disjoint": q_shacl_disjoint,
+        "shacl_uniquelang": q_shacl_uniquelang,
+        "shacl_nodekind": q_shacl_nodekind,
+        "shacl_lessthan": q_shacl_lessthan,
         # RDF query operators (ref src/rdfquery.js)
         "rdf_bgp": q_rdf_bgp,
         "rdf_path_seq": q_rdf_path_seq,
@@ -668,9 +791,38 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE','MACHINERY')
         """,
         "shacl_range": """
-            SELECT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+            SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
                    CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty_lex
             FROM lineitem WHERE NOT (l_quantity <= 25)
+        """,
+        "shacl_equals": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS value
+            FROM customer WHERE c_acctbal <= 0
+            UNION ALL
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR), 'NONE'
+            FROM customer WHERE c_acctbal <= 0
+        """,
+        "shacl_disjoint": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS value
+            FROM customer WHERE c_acctbal > 0
+        """,
+        "shacl_uniquelang": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus,
+                   'Language "en" has been used by 2 values' AS message
+            FROM customer WHERE c_acctbal > 5000
+        """,
+        "shacl_nodekind": """
+            SELECT 'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS focus, o_orderstatus AS value
+            FROM orders WHERE o_orderstatus <> 'F'
+        """,
+        "shacl_lessthan": """
+            WITH q AS (SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                              CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty FROM lineitem),
+                 t AS (SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                              CAST(CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR) AS tax FROM lineitem)
+            SELECT q.line AS line, q.qty AS qty_lex
+            FROM q JOIN t ON q.line = t.line
+            WHERE NOT (q.qty < t.tax)
         """,
         "rdf_bgp": """
             SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS customer,
