@@ -458,6 +458,22 @@ def q_kg_canonical(spark, sf_dir):
     return connected_components(spark, alias_edges(spark)).select("entity_id", "canonical_id")
 
 
+def q_kg_triples_full(spark, sf_dir):
+    """Full production pipeline (hash-affinity linker + canonicalization);
+    rows-only check — the linker hash is not DuckDB-expressible."""
+    from shacl_js_spark.pipeline.canonicalize import canonicalize_triples
+    from shacl_js_spark.pipeline.emit import EX as KG_EX, emit_triples
+    from shacl_js_spark.pipeline.extract import extract_mentions
+    from shacl_js_spark.pipeline.link import link_entities
+
+    docs = interleaved_documents(spark, sf_dir).persist()
+    links = link_entities(spark, extract_mentions(spark, docs)).persist()
+    mapping = connected_components(spark, alias_edges(spark))
+    return canonicalize_triples(
+        spark, emit_triples(spark, docs, links), mapping, KG_EX + "entity/"
+    ).select("s", "p", "o", "o_kind")
+
+
 # --- dedup -------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -540,7 +556,12 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    return lang_id(_pq(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+    return lang_id(_pq(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred",
+        F.col("score_data").cast("double").alias("score_data"),
+        F.col("score_en").cast("double").alias("score_en"),
+        F.col("score_sql").cast("double").alias("score_sql"),
+    )
 
 
 def q_text_fingerprint(spark, sf_dir):
@@ -643,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links_prior": q_kg_links_prior,
         "kg_cooccur": q_kg_cooccur,
         "kg_canonical": q_kg_canonical,
+        "kg_triples_full": q_kg_triples_full,
         # dedup family
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1008,7 +1030,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        # text_langid intentionally has no oracle: the chained-CASE argmax has
-        # engine-specific float-comparison corner cases; driver records the
-        # weaker rows-only check.
+        "text_langid": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS toks,
+                     greatest(len(string_split(text,' ')), 1) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(toks, x -> x IN ('spark','stream','batch','row','data','value','key','hash','window'))) AS DOUBLE)/n AS s_data,
+                     CAST(len(list_filter(toks, x -> x IN ('the','a','fast','slow','small'))) AS DOUBLE)/n AS s_en,
+                     CAST(len(list_filter(toks, x -> x IN ('join','filter','query','table','scan','merge','sort','group','order'))) AS DOUBLE)/n AS s_sql
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN s_data >= s_en AND s_data >= s_sql THEN 'data'
+                        WHEN s_en > s_data AND s_en >= s_sql THEN 'en'
+                        WHEN s_sql > s_data AND s_sql > s_en THEN 'sql'
+                        ELSE 'unk' END AS lang_pred,
+                   round(s_data, 6) AS score_data,
+                   round(s_en, 6) AS score_en,
+                   round(s_sql, 6) AS score_sql
+            FROM s
+        """,
+        # kg_triples_full has no oracle (the production linker's xxhash64
+        # affinity is not expressible in DuckDB) -> rows-only check.
     }
