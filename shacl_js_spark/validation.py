@@ -159,6 +159,7 @@ class Engine:
         shapes: LocalGraph,
         registry=None,
         error_batch: int = -1,
+        persist_values: bool = True,
     ):
         self.spark = spark
         self.data = data
@@ -166,6 +167,7 @@ class Engine:
         self.registry = registry
         self.ir = ShapesIR(shapes, registry)
         self.error_batch = error_batch
+        self.persist_values = persist_values
         self._sub_children: dict[str, list[str]] | None = None  # parent enc -> child encs
         self._stack: list[Term] = []  # shape recursion guard (compile-time cycle reject)
 
@@ -397,6 +399,10 @@ class Engine:
         self._stack.append(shape.node)
         try:
             values = self.values_frame(shape, focus_df)
+            # several constraint branches consume the same value frame inside
+            # one job; persist so the (possibly multi-hop) path join runs once
+            if len(shape.constraints) > 1 and self.persist_values:
+                values = values.persist()
             out = self._empty_viols()
             for constraint in shape.constraints:
                 v = self._dispatch(shape, constraint, focus_df, values)
