@@ -39,9 +39,12 @@ def build_spark(cpus: int):
     )
 
 
-def kg_pipeline_triples(spark, sf_dir: str) -> int:
+def kg_pipeline_triples(spark, sf_dir: str, replicate: int = 1) -> int:
     """Full in-memory pipeline: synth -> extract -> link -> emit ->
-    canonicalize -> count (the headline triples/sec job)."""
+    canonicalize -> count (the headline triples/sec job).  replicate > 1
+    deterministically expands the corpus so the measurement is
+    throughput-bound instead of stage-latency-bound."""
+    from pyspark.sql import functions as F
     from shacl_js_spark.pipeline.canonicalize import (
         alias_edges,
         canonicalize_triples,
@@ -50,12 +53,19 @@ def kg_pipeline_triples(spark, sf_dir: str) -> int:
     from shacl_js_spark.pipeline.emit import EX, emit_triples
     from shacl_js_spark.pipeline.extract import extract_mentions
     from shacl_js_spark.pipeline.link import link_entities
-    from shacl_js_spark.pipeline.synth import interleaved_documents
+    from shacl_js_spark.pipeline.synth import raw_to_interleaved
 
+    raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
+    if replicate > 1:
+        rep = spark.range(replicate).select(F.col("id").alias("rep"))
+        raw_docs = raw_docs.crossJoin(rep).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
     # persist at the fan-out points: docs feeds extract + emit (meta/media
-    # branches), links feeds 4 emit branches — without this the window-join
-    # link stage re-executes once per union branch
-    docs = interleaved_documents(spark, sf_dir).persist()
+    # branches), links feeds 4 emit branches — without this the link stage
+    # re-executes once per union branch
+    docs = raw_to_interleaved(raw_docs).persist()
     mentions = extract_mentions(spark, docs)
     links = link_entities(spark, mentions).persist()
     raw = emit_triples(spark, docs, links)
@@ -94,7 +104,14 @@ def main() -> None:
     n_triples = kg_pipeline_triples(spark, sf_dir)
     timings["kg_pipeline"] = round(time.time() - t0, 3)
     extras["triples"] = n_triples
-    extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+
+    # throughput-bound headline: replicated corpus (deterministic)
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "20"))
+    t0 = time.time()
+    n_scaled = kg_pipeline_triples(spark, sf_dir, replicate=rep)
+    timings["kg_pipeline_scaled"] = round(time.time() - t0, 3)
+    extras["triples_scaled"] = n_scaled
+    extras["triples_per_sec"] = round(n_scaled / timings["kg_pipeline_scaled"], 1)
 
     t0 = time.time()
     shacl_validate(spark, sf_dir)
