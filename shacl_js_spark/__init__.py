@@ -18,3 +18,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# public API
+from .graph import TRIPLE_SCHEMA, triples_df, turtle_df  # noqa: E402,F401
+from .localgraph import LocalGraph  # noqa: E402,F401
+from .plans.query import RDFQueryDF  # noqa: E402,F401
+from .registry import ValidatorRegistry  # noqa: E402,F401
+from .report import ValidationReport  # noqa: E402,F401
+from .terms import T, Term, bnode, iri, literal  # noqa: E402,F401
+from .turtle import parse_turtle  # noqa: E402,F401
+from .validation import Engine, ShaclValidationError  # noqa: E402,F401
+from .validator import SHACLValidator  # noqa: E402,F401

@@ -80,7 +80,15 @@ def run_fixture(spark: SparkSession, text: str, registry=None) -> tuple[Validati
     trips, prefixes = parse_turtle(text)
     local = LocalGraph(trips, prefixes)
     data = triples_df(spark, trips)
-    engine = Engine(spark, data, local, registry=registry)
+    # the whole graph is already on the driver: hand the engine the
+    # rdfs:subClassOf edges so it skips the closure collect action
+    sub: dict = {}
+    from .localgraph import RDFS_SUBCLASSOF
+
+    for (s, p, o) in trips:
+        if p.is_iri and p.value == RDFS_SUBCLASSOF:
+            sub.setdefault(o.encoded(), []).append(s.encoded())
+    engine = Engine(spark, data, local, registry=registry, subclass_edges=sub)
     report = engine.validate()
     return report, extract_expected(local)
 

@@ -160,6 +160,7 @@ class Engine:
         registry=None,
         error_batch: int = -1,
         persist_values: bool = True,
+        subclass_edges: dict | None = None,
     ):
         self.spark = spark
         self.data = data
@@ -168,7 +169,9 @@ class Engine:
         self.ir = ShapesIR(shapes, registry)
         self.error_batch = error_batch
         self.persist_values = persist_values
-        self._sub_children: dict[str, list[str]] | None = None  # parent enc -> child encs
+        # parent enc -> child encs; callers that already hold the graph
+        # driver-side (fixture harness) can pass the edges to skip a collect
+        self._sub_children: dict[str, list[str]] | None = subclass_edges
         self._stack: list[Term] = []  # shape recursion guard (compile-time cycle reject)
 
     # ------------------------------------------------------------------ data
