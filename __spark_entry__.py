@@ -121,9 +121,13 @@ def _customer_triples(spark, sf_dir) -> DataFrame:
 
 def _shacl_violations(spark, sf_dir, shapes_ttl: str) -> DataFrame:
     # persist the derived triples: the engine reads them several times
-    # (subclass-closure collect, target scan, per-constraint joins)
+    # (target scan, per-constraint joins); the class hierarchy is known
+    # statically here, so pass it instead of collecting it from the data
     data = _customer_triples(spark, sf_dir).persist()
-    engine = Engine(spark, data, LocalGraph.from_turtle(shapes_ttl))
+    engine = Engine(
+        spark, data, LocalGraph.from_turtle(shapes_ttl),
+        subclass_edges={f"<{EX}BigCustomer>": [f"<{EX}VIP>"]},
+    )
     return engine.report_df()
 
 
@@ -229,6 +233,87 @@ ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
     engine = Engine(spark, data, LocalGraph.from_turtle(ttl))
     return engine.report_df().select(
         F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex")
+    )
+
+
+def q_shacl_hasvalue(spark, sf_dir):
+    # every customer must have segment BUILDING among its ex:segment values
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ; sh:hasValue "BUILDING" ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+def q_shacl_minlength(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ; sh:minLength 9 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_xone(spark, sf_dir):
+    # exactly one of {starts with A-F, length >= 9} must hold for the segment
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ;
+    sh:xone ( [ sh:pattern "^[A-F]" ] [ sh:minLength 9 ] ) ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_and(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ;
+    sh:and ( [ sh:pattern "^[A-Z]" ] [ sh:minLength 9 ] ) ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_or(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ;
+    sh:or ( [ sh:pattern "^A" ] [ sh:pattern "^B" ] ) ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_not(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ; sh:not [ sh:pattern "^B" ] ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_closed(spark, sf_dir):
+    # closed shape allowing only name+segment+order(+rdf:type is NOT
+    # auto-ignored -> listed in ignoredProperties): violations are the
+    # ex:cust/ex:order-object triples? targets are customers: offending
+    # triples are any (customer, p, o) with p outside the allowed set.
+    ttl = _SHAPES_PREFIX + """
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:closed true ;
+  sh:ignoredProperties ( rdf:type ) ;
+  sh:property [ sh:path ex:name ; sh:minCount 0 ] ;
+  sh:property [ sh:path ex:segment ; sh:minCount 0 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    # offending predicate = ex:order (every customer with orders)
+    return v.filter(F.col("component").endswith("ClosedConstraintComponent")).select(
+        F.col("focus_v").alias("focus"),
+        F.col("path").alias("pred"),
+        F.col("value_v").alias("value"),
     )
 
 
@@ -649,6 +734,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_class": q_shacl_class,
         "shacl_in": q_shacl_in,
         "shacl_range": q_shacl_range,
+        "shacl_and": q_shacl_and,
+        "shacl_or": q_shacl_or,
+        "shacl_not": q_shacl_not,
+        "shacl_hasvalue": q_shacl_hasvalue,
+        "shacl_minlength": q_shacl_minlength,
+        "shacl_xone": q_shacl_xone,
+        "shacl_closed": q_shacl_closed,
         "shacl_equals": q_shacl_equals,
         "shacl_disjoint": q_shacl_disjoint,
         "shacl_uniquelang": q_shacl_uniquelang,
@@ -816,6 +908,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
                    CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty_lex
             FROM lineitem WHERE NOT (l_quantity <= 25)
+        """,
+        "shacl_and": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer
+            WHERE NOT (regexp_matches(c_mktsegment, '^[A-Z]') AND length(c_mktsegment) >= 9)
+        """,
+        "shacl_or": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer
+            WHERE NOT (regexp_matches(c_mktsegment, '^A') OR regexp_matches(c_mktsegment, '^B'))
+        """,
+        "shacl_not": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer WHERE regexp_matches(c_mktsegment, '^B')
+        """,
+        "shacl_hasvalue": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer WHERE c_mktsegment <> 'BUILDING'
+        """,
+        "shacl_minlength": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer WHERE length(c_mktsegment) < 9
+        """,
+        "shacl_xone": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer
+            WHERE (CASE WHEN regexp_matches(c_mktsegment, '^[A-F]') THEN 1 ELSE 0 END
+                 + CASE WHEN length(c_mktsegment) >= 9 THEN 1 ELSE 0 END) <> 1
+        """,
+        "shacl_closed": """
+            SELECT 'http://ex/c/' || CAST(o_custkey AS VARCHAR) AS focus,
+                   '<http://ex/order>' AS pred,
+                   'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS value
+            FROM orders
         """,
         "shacl_equals": """
             SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS value
