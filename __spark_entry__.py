@@ -381,6 +381,28 @@ ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
     return v.select(F.col("focus_v").alias("focus"), F.col("message").alias("message"))
 
 
+def q_shacl_languagein(spark, sf_dir):
+    # labels carry @en and (for acctbal<=5000) @de; languageIn ("en") flags
+    # the @de values
+    v = _tag_violations(spark, sf_dir, """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:label ; sh:languageIn ( "en" ) ] .
+""")
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_shacl_qualified(spark, sf_dir):
+    # at least 3 orders whose IRI matches ^http://ex/o/1 (orderkey starts '1')
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ;
+    sh:qualifiedValueShape [ sh:pattern "^http://ex/o/1" ] ;
+    sh:qualifiedMinCount 3 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"))
+
+
 def q_shacl_nodekind(spark, sf_dir):
     orders = _pq(spark, sf_dir, "orders")
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -744,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_equals": q_shacl_equals,
         "shacl_disjoint": q_shacl_disjoint,
         "shacl_uniquelang": q_shacl_uniquelang,
+        "shacl_languagein": q_shacl_languagein,
+        "shacl_qualified": q_shacl_qualified,
         "shacl_nodekind": q_shacl_nodekind,
         "shacl_lessthan": q_shacl_lessthan,
         # RDF query operators (ref src/rdfquery.js)
@@ -958,6 +982,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus,
                    'Language "en" has been used by 2 values' AS message
             FROM customer WHERE c_acctbal > 5000
+        """,
+        "shacl_languagein": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS value
+            FROM customer WHERE c_acctbal <= 5000
+        """,
+        "shacl_qualified": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer c
+            WHERE (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND CAST(o.o_orderkey AS VARCHAR) LIKE '1%') < 3
         """,
         "shacl_nodekind": """
             SELECT 'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS focus, o_orderstatus AS value
