@@ -678,12 +678,18 @@ def q_text_fingerprint(spark, sf_dir):
 # --- events (windowed analytics) --------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
+    # Aggregation is exact (DECIMAL), but the OUTPUT columns are lexical
+    # strings: the driver gate hashes pandas values, where DuckDB DECIMAL
+    # degrades to float64 and TIMESTAMP_NTZ renderings diverge (round-1
+    # hash_match=false). String forms are engine-independent.
     ev = _pq(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
     ).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+        .cast("string").alias("total"),
     )
 
 
@@ -719,10 +725,10 @@ def q_tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(d("l_quantity")).cast("decimal(38,2)").cast("string").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("decimal(38,2)").cast("string").alias("sum_base_price"),
             F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast("decimal(38,4)"))
-            .cast("decimal(38,4)").alias("sum_disc_price"),
+            .cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
             F.count("*").cast("bigint").alias("count_order"),
         )
     )
@@ -742,7 +748,7 @@ def q_tpch_region_revenue(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name")
-        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("string").alias("revenue"),
              F.count("*").cast("bigint").alias("n_items"))
     )
 
@@ -1154,9 +1160,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_hourly": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
@@ -1172,9 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1182,7 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_region_revenue": """
             SELECT r_name,
-                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+                   CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

@@ -15,18 +15,32 @@ from pyspark.sql import SparkSession
 
 
 def norm_cell(v):
-    import datetime
-    import decimal
-
+    # STRICT on purpose: no decimal/float/timestamp normalization. The driver
+    # gate converts both sides to pandas, where DuckDB DECIMAL becomes float64
+    # ("1.5") while Spark DECIMAL stays decimal.Decimal ("1.50") -- so any
+    # query that emits a raw DECIMAL or TIMESTAMP column is a latent hash
+    # mismatch. Queries must emit lexical strings / bigints / doubles only;
+    # this normalizer makes the local gate catch violations (round-1 lesson:
+    # events_hourly/tpch_q1/tpch_region_revenue failed driver-side only).
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6f}"
-    if isinstance(v, decimal.Decimal):
-        return f"{float(v):.6f}"
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        return repr(v)
     return str(v)
+
+
+RISKY_TYPES = ("decimal", "timestamp", "date")
+
+
+def schema_lint(name, df):
+    risky = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if any(t in f.dataType.simpleString() for t in RISKY_TYPES)
+    ]
+    if risky:
+        print(f"TYPE-WARN {name}: driver-unsafe output columns {risky}")
+    return risky
 
 
 def table_hash(cols, rows):
@@ -67,6 +81,7 @@ def main(sf_dir: str, only: list[str]):
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
+            schema_lint(name, df)
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"SPARK-ERR {name}: {type(e).__name__} {str(e)[:200]}")
