@@ -25,6 +25,7 @@ from shacl_js_spark.graph import TRIPLE_FIELDS, TRIPLE_SCHEMA
 from shacl_js_spark.localgraph import LocalGraph
 from shacl_js_spark.ops.dedup import (
     LSH_BANDS,
+    MAX_LSH_BUCKET,
     MINHASH_P,
     N_HASHES,
     cosine,
@@ -212,7 +213,10 @@ ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
     return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
 
 
-def q_shacl_range(spark, sf_dir):
+def _line_qty_report(spark, sf_dir, constraint: str) -> DataFrame:
+    """lineitem qty as xsd:decimal literals; one range constraint applied.
+    Shared by the four min/max Inclusive/Exclusive oracle queries
+    (validateMin/MaxInclusive/Exclusive, ref shared/dash.js:223-249)."""
     li = _pq(spark, sf_dir, "lineitem")
     li_iri = F.concat(
         F.lit(EX + "li/"), F.col("l_orderkey").cast("string"), F.lit("-"),
@@ -226,14 +230,30 @@ def q_shacl_range(spark, sf_dir):
                     F.col("l_quantity").cast("decimal(12,1)").cast("string"),
                     dt="http://www.w3.org/2001/XMLSchema#decimal")
     ).dropDuplicates(["s", "p", "o"])
-    ttl = _SHAPES_PREFIX + """
+    ttl = _SHAPES_PREFIX + f"""
 ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
-  sh:property [ sh:path ex:qty ; sh:maxInclusive 25 ] .
+  sh:property [ sh:path ex:qty ; {constraint} ] .
 """
     engine = Engine(spark, data, LocalGraph.from_turtle(ttl))
     return engine.report_df().select(
         F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex")
     )
+
+
+def q_shacl_range(spark, sf_dir):
+    return _line_qty_report(spark, sf_dir, "sh:maxInclusive 25")
+
+
+def q_shacl_mininclusive(spark, sf_dir):
+    return _line_qty_report(spark, sf_dir, "sh:minInclusive 5")
+
+
+def q_shacl_minexclusive(spark, sf_dir):
+    return _line_qty_report(spark, sf_dir, "sh:minExclusive 5")
+
+
+def q_shacl_maxexclusive(spark, sf_dir):
+    return _line_qty_report(spark, sf_dir, "sh:maxExclusive 25")
 
 
 def q_shacl_hasvalue(spark, sf_dir):
@@ -455,6 +475,186 @@ ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
     return v.select(F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex"))
 
 
+def q_shacl_lessthanorequals(spark, sf_dir):
+    # validateLessThanOrEqualsProperty (ref shared/dash.js:205-216): string
+    # compare; violation when qty > tax lexically
+    li = _pq(spark, sf_dir, "lineitem")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    li_iri = F.concat(
+        F.lit(EX + "li/"), F.col("l_orderkey").cast("string"), F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    qty = F.col("l_quantity").cast("decimal(12,1)").cast("string")
+    tax = F.col("l_tax").cast("decimal(12,2)").cast("string")
+    data = (
+        _iri_triple(li, li_iri, rdf_type, F.lit(EX + "Line"))
+        .unionByName(_lit_triple(li, li_iri, EX + "qty", qty, dt=dec))
+        .unionByName(_lit_triple(li, li_iri, EX + "tax", tax, dt=dec))
+        .dropDuplicates(["s", "p", "o"])
+    )
+    ttl = _SHAPES_PREFIX + """
+ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
+  sh:property [ sh:path ex:qty ; sh:lessThanOrEquals ex:tax ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex"))
+
+
+def q_shacl_datatype(spark, sf_dir):
+    # validateDatatype + isValidForDatatype (ref shared/dash.js:92-99,
+    # 526-541): exact datatype IRI equality, then JS parseInt lexical check
+    # for xsd:integer. Three-way data: valid / wrong datatype IRI / bad lexical.
+    cust = _pq(spark, sf_dir, "customer")
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    int_dt = "http://www.w3.org/2001/XMLSchema#integer"
+    bal_lex = F.floor("c_acctbal").cast("string")
+    data = (
+        _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer"))
+        .unionByName(_lit_triple(
+            cust.filter(F.col("c_acctbal") > 2000), c_iri, EX + "bal", bal_lex, dt=int_dt))
+        .unionByName(_lit_triple(  # xsd:string where integer is required
+            cust.filter((F.col("c_acctbal") > 0) & (F.col("c_acctbal") <= 2000)),
+            c_iri, EX + "bal", bal_lex))
+        .unionByName(_lit_triple(  # parseInt('N/A') is NaN
+            cust.filter(F.col("c_acctbal") <= 0), c_iri, EX + "bal", F.lit("N/A"), dt=int_dt))
+    )
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:bal ; sh:datatype xsd:integer ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_shacl_maxlength(spark, sf_dir):
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:segment ; sh:maxLength 8 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("segment"))
+
+
+def q_shacl_hasvalue_node(spark, sf_dir):
+    # node form (validateHasValueNode, ref shared/dash.js:147-149): the focus
+    # node itself must equal the hasValue term
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:hasValue <http://ex/c/1> .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+def q_shacl_node(spark, sf_dir):
+    # validateNode (ref shared/dash.js:276-278): value conforms to inner shape
+    ttl = _SHAPES_PREFIX + """
+ex:OrderShape a sh:NodeShape ; sh:targetClass ex:Order ;
+  sh:property [ sh:path ex:cust ; sh:node [ sh:pattern "^http://ex/c/1" ] ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("order_iri"), F.col("value_v").alias("cust_iri"))
+
+
+def q_shacl_property_nested(spark, sf_dir):
+    # sh:property recursion two levels deep: order -> cust -> segment; the
+    # inner named NodeShape's property shape must be compiled and evaluated
+    # against the sh:node candidates (ref src/shapes-graph.js Shape ctor +
+    # shared/dash.js:276-278)
+    ttl = _SHAPES_PREFIX + """
+ex:OrderShape a sh:NodeShape ; sh:targetClass ex:Order ;
+  sh:property [ sh:path ex:cust ; sh:node ex:CustOK ] .
+ex:CustOK a sh:NodeShape ;
+  sh:property [ sh:path ex:segment ; sh:minLength 9 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("order_iri"), F.col("value_v").alias("cust_iri"))
+
+
+def q_shacl_qualified_max(spark, sf_dir):
+    # at most 5 orders whose IRI matches ^http://ex/o/1
+    ttl = _SHAPES_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ;
+    sh:qualifiedValueShape [ sh:pattern "^http://ex/o/1" ] ;
+    sh:qualifiedMaxCount 5 ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+_DASH_PREFIX = _SHAPES_PREFIX + "@prefix dash: <http://datashapes.org/dash#> .\n"
+
+
+def q_dash_coexistswith(spark, sf_dir):
+    # validateCoExistsWith (ref shared/dash.js:85-90): existence of ex:order
+    # values must equal existence of ex:nick values. Nicks exist only for
+    # custkey % 3 != 0, so violations are (has orders) XOR (has nick).
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    o_cust_iri = F.concat(F.lit(EX + "c/"), F.col("o_custkey").cast("string"))
+    o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey").cast("string"))
+    data = (
+        _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer"))
+        .unionByName(_lit_triple(
+            cust.filter(F.col("c_custkey") % 3 != 0), c_iri, EX + "nick", F.col("c_name")))
+        .unionByName(_iri_triple(orders, o_cust_iri, EX + "order", o_iri))
+    )
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ; dash:coExistsWith ex:nick ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+def q_dash_subsetof(spark, sf_dir):
+    # validateSubSetOf (ref shared/dash.js:373-375): every ex:tag2 value must
+    # also be an ex:tag1 value of the same focus; tag2='NONE' iff acctbal<=0
+    data = _tag_triples(spark, sf_dir).persist()
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:tag2 ; dash:subSetOf ex:tag1 ] .
+"""
+    v = Engine(spark, data, LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_dash_primarykey(spark, sf_dir):
+    # validatePrimaryKeyProperty (ref shared/dash.js:313-325): focus IRI must
+    # equal uriStart + encodeURIComponent(value); customer IRIs are keyed by
+    # custkey, not name, so every focus yields the "Does not have URI" message
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:name ; dash:uriStart "http://ex/c/" ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("message").alias("message"))
+
+
+def q_dash_closedbytypes(spark, sf_dir):
+    # validateClosedByTypesNode (ref shared/dash.js:56-83): allowed predicates
+    # come from shapes-graph sh:property paths of the focus's rdf:type closure
+    # (data-graph subClassOf, upward). ex:order is declared only on
+    # ex:BigCustomer, so customers below the BigCustomer threshold violate
+    # once per order triple.
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ; dash:closedByTypes true .
+ex:Customer sh:property [ sh:path ex:name ] ; sh:property [ sh:path ex:segment ] .
+ex:BigCustomer sh:property [ sh:path ex:order ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(
+        F.col("focus_v").alias("focus"),
+        F.col("path").alias("pred"),
+        F.col("value_v").alias("value"),
+    )
+
+
 # --- RDF query operators ----------------------------------------------------
 
 def _geo_triples(spark, sf_dir) -> DataFrame:
@@ -566,8 +766,8 @@ def q_kg_canonical(spark, sf_dir):
 
 
 def q_kg_triples_full(spark, sf_dir):
-    """Full production pipeline (hash-affinity linker + canonicalization);
-    rows-only check — the linker hash is not DuckDB-expressible."""
+    """Full production pipeline (md5-affinity linker + canonicalization);
+    value-hash-checked against a full DuckDB replica (_kg_full_sql)."""
     from shacl_js_spark.pipeline.canonicalize import canonicalize_triples
     from shacl_js_spark.pipeline.emit import EX as KG_EX, emit_triples
     from shacl_js_spark.pipeline.extract import extract_mentions
@@ -776,6 +976,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_qualified": q_shacl_qualified,
         "shacl_nodekind": q_shacl_nodekind,
         "shacl_lessthan": q_shacl_lessthan,
+        "shacl_mininclusive": q_shacl_mininclusive,
+        "shacl_minexclusive": q_shacl_minexclusive,
+        "shacl_maxexclusive": q_shacl_maxexclusive,
+        "shacl_lessthanorequals": q_shacl_lessthanorequals,
+        "shacl_datatype": q_shacl_datatype,
+        "shacl_maxlength": q_shacl_maxlength,
+        "shacl_hasvalue_node": q_shacl_hasvalue_node,
+        "shacl_node": q_shacl_node,
+        "shacl_property_nested": q_shacl_property_nested,
+        "shacl_qualified_max": q_shacl_qualified_max,
+        "dash_coexistswith": q_dash_coexistswith,
+        "dash_subsetof": q_dash_subsetof,
+        "dash_primarykey": q_dash_primarykey,
+        "dash_closedbytypes": q_dash_closedbytypes,
         # RDF query operators (ref src/rdfquery.js)
         "rdf_bgp": q_rdf_bgp,
         "rdf_path_seq": q_rdf_path_seq,
@@ -887,6 +1101,92 @@ def _cos_sql(a: str, b: str) -> str:
         f"round({_DOT.format(a=a, b=b)} / "
         f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), 6)"
     )
+
+
+_KG = "http://example.org/kg#"
+_RDF_TYPE_IRI = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+_RDFS_LABEL_IRI = "<http://www.w3.org/2000/01/rdf-schema#label>"
+
+
+def _kg_full_sql() -> str:
+    """DuckDB replica of the FULL production pipeline (pipeline/{synth,
+    extract,link,emit,canonicalize}.py): md5-affinity linker argmax,
+    alias-edge connected components (recursive CTE), triple emission incl.
+    media spans, canonical rewrite, global (s,p,o) dedup."""
+    lex = _lexicon_values_sql()
+    md5i = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+    aff = md5i.format(x="m.doc_id || '|' || l.entity_id")
+    kind_h = md5i.format(x="doc_id || '/' || CAST(j AS VARCHAR)")
+    return f"""
+        WITH RECURSIVE
+        toks AS ({_TOKENS_SQL}),
+        lex AS (SELECT * FROM {lex}),
+        m AS (SELECT DISTINCT toks.doc_id, toks.tok AS surface
+              FROM toks JOIN (SELECT DISTINCT surface FROM lex) ls ON toks.tok = ls.surface),
+        scored AS (
+          SELECT m.doc_id, m.surface, l.entity_id,
+                 l.prior + 0.2 * ({aff} % 1000 / 1000.0) AS score
+          FROM m JOIN lex l ON m.surface = l.surface),
+        links AS (
+          SELECT doc_id, surface, entity_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id, surface
+                                         ORDER BY score DESC, entity_id DESC) AS rk
+            FROM scored) WHERE rk = 1),
+        edges AS (SELECT src, dst FROM {_alias_edges_values_sql()}),
+        und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach(n, mm) AS (
+          SELECT src, src FROM und
+          UNION
+          SELECT r.n, u.dst FROM reach r JOIN und u ON r.mm = u.src),
+        canon AS (SELECT n AS entity_id, min(mm) AS canonical_id FROM reach GROUP BY n),
+        cl AS (SELECT l.doc_id, l.surface, coalesce(c.canonical_id, l.entity_id) AS entity_id
+               FROM links l LEFT JOIN canon c ON l.entity_id = c.entity_id),
+        meta AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+                        CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS n_spans
+                 FROM documents),
+        media AS (SELECT doc_id, j,
+                         'media://' || doc_id || '/' || CAST(j AS VARCHAR) AS media_ref,
+                         CASE {kind_h} % 3 WHEN 0 THEN 'Image' WHEN 1 THEN 'Audio'
+                              ELSE 'Video' END AS kind
+                  FROM meta, unnest(range(1, CAST(floor(n_spans / 2.0) AS BIGINT) + 1)) AS r(j)),
+        de AS (SELECT DISTINCT doc_id, entity_id FROM links),
+        pairs AS (SELECT DISTINCT
+                    coalesce(ca.canonical_id, a.entity_id) AS ea,
+                    coalesce(cb.canonical_id, b.entity_id) AS eb
+                  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+                  LEFT JOIN canon ca ON a.entity_id = ca.entity_id
+                  LEFT JOIN canon cb ON b.entity_id = cb.entity_id)
+        SELECT DISTINCT s, p, o, o_kind FROM (
+          SELECT '<{_KG}doc/' || doc_id || '>' AS s, '{_RDF_TYPE_IRI}' AS p,
+                 '<{_KG}Document>' AS o, 'iri' AS o_kind FROM meta
+          UNION ALL
+          SELECT '<{_KG}doc/' || doc_id || '>', '<{_KG}language>',
+                 '"' || lang || '"', 'literal' FROM meta
+          UNION ALL
+          SELECT '<{_KG}doc/' || doc_id || '>', '<{_KG}source>',
+                 '<{_KG}source/' || source || '>', 'iri' FROM meta
+          UNION ALL
+          SELECT '<{_KG}doc/' || doc_id || '>', '<{_KG}mentions>',
+                 '<{_KG}entity/' || entity_id || '>', 'iri'
+          FROM (SELECT DISTINCT doc_id, entity_id FROM cl)
+          UNION ALL
+          SELECT '<{_KG}entity/' || entity_id || '>', '{_RDF_TYPE_IRI}',
+                 '<{_KG}Entity>', 'iri' FROM (SELECT DISTINCT entity_id FROM cl)
+          UNION ALL
+          SELECT '<{_KG}entity/' || entity_id || '>', '{_RDFS_LABEL_IRI}',
+                 '"' || surface || '"', 'literal'
+          FROM (SELECT DISTINCT entity_id, surface FROM cl)
+          UNION ALL
+          SELECT '<{_KG}doc/' || doc_id || '>', '<{_KG}hasMedia>',
+                 '<{_KG}media/' || md5(media_ref) || '>', 'iri' FROM media
+          UNION ALL
+          SELECT '<{_KG}media/' || md5(media_ref) || '>', '{_RDF_TYPE_IRI}',
+                 '<{_KG}' || kind || '>', 'iri' FROM media
+          UNION ALL
+          SELECT '<{_KG}entity/' || ea || '>', '<{_KG}coOccursWith>',
+                 '<{_KG}entity/' || eb || '>', 'iri' FROM pairs
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1013,6 +1313,84 @@ def oracle_sql() -> dict[str, str]:
             FROM q JOIN t ON q.line = t.line
             WHERE NOT (q.qty < t.tax)
         """,
+        "shacl_lessthanorequals": """
+            WITH q AS (SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                              CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty FROM lineitem),
+                 t AS (SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                              CAST(CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR) AS tax FROM lineitem)
+            SELECT q.line AS line, q.qty AS qty_lex
+            FROM q JOIN t ON q.line = t.line
+            WHERE NOT (q.qty <= t.tax)
+        """,
+        "shacl_mininclusive": """
+            SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                   CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty_lex
+            FROM lineitem WHERE NOT (l_quantity >= 5)
+        """,
+        "shacl_minexclusive": """
+            SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                   CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty_lex
+            FROM lineitem WHERE NOT (l_quantity > 5)
+        """,
+        "shacl_maxexclusive": """
+            SELECT DISTINCT 'http://ex/li/' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line,
+                   CAST(CAST(l_quantity AS DECIMAL(12,1)) AS VARCHAR) AS qty_lex
+            FROM lineitem WHERE NOT (l_quantity < 25)
+        """,
+        "shacl_datatype": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus,
+                   CASE WHEN c_acctbal <= 0 THEN 'N/A'
+                        ELSE CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR) END AS value
+            FROM customer WHERE c_acctbal <= 2000
+        """,
+        "shacl_maxlength": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, c_mktsegment AS segment
+            FROM customer WHERE length(c_mktsegment) > 8
+        """,
+        "shacl_hasvalue_node": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer WHERE c_custkey <> 1
+        """,
+        "shacl_node": """
+            SELECT 'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS order_iri,
+                   'http://ex/c/' || CAST(o_custkey AS VARCHAR) AS cust_iri
+            FROM orders WHERE CAST(o_custkey AS VARCHAR) NOT LIKE '1%'
+        """,
+        "shacl_property_nested": """
+            SELECT 'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS order_iri,
+                   'http://ex/c/' || CAST(o_custkey AS VARCHAR) AS cust_iri
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE length(c_mktsegment) < 9
+        """,
+        "shacl_qualified_max": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer c
+            WHERE (SELECT count(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND CAST(o.o_orderkey AS VARCHAR) LIKE '1%') > 5
+        """,
+        "dash_coexistswith": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                  <> (c_custkey % 3 <> 0)
+        """,
+        "dash_subsetof": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus, 'NONE' AS value
+            FROM customer WHERE c_acctbal <= 0
+        """,
+        "dash_primarykey": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus,
+                   'Does not have URI http://ex/c/' || replace(c_name, '#', '%23') AS message
+            FROM customer
+        """,
+        "dash_closedbytypes": """
+            SELECT 'http://ex/c/' || CAST(o_custkey AS VARCHAR) AS focus,
+                   '<http://ex/order>' AS pred,
+                   'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS value
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal <= 5000
+        """,
         "rdf_bgp": """
             SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS customer,
                    'http://ex/r/' || CAST(n_regionkey AS VARCHAR) AS region,
@@ -1092,9 +1470,12 @@ def oracle_sql() -> dict[str, str]:
                   % (b, 2 * b, 2 * b + 1)
                   for b in range(LSH_BANDS)
               )}
-            )
+            ),
+            keep AS (SELECT band, bucket FROM banded
+                     GROUP BY band, bucket HAVING count(*) <= {MAX_LSH_BUCKET}),
+            kept AS (SELECT banded.* FROM banded JOIN keep USING (band, bucket))
             SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
-            FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+            FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""
@@ -1218,6 +1599,5 @@ def oracle_sql() -> dict[str, str]:
                    round(s_sql, 6) AS score_sql
             FROM s
         """,
-        # kg_triples_full has no oracle (the production linker's xxhash64
-        # affinity is not expressible in DuckDB) -> rows-only check.
+        "kg_triples_full": _kg_full_sql(),
     }

@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,11 +87,11 @@ def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES, shingle_n: int =
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
-    """Band the signature; docs colliding in any band become candidate pairs
-    (a < b, distinct).  The band bucket join is the only shuffle."""
+MAX_LSH_BUCKET = 200  # per-(band,bucket) membership cap; bounds pairs at cap^2
+
+
+def _banded(sigs: DataFrame, bands: int, n_hashes: int) -> DataFrame:
     rows_per_band = n_hashes // bands
-    sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
     pieces = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -103,6 +105,40 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, n_hashes: int =
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.unionByName(p)
+    return banded
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = LSH_BANDS,
+    n_hashes: int = N_HASHES,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Band the signature; docs colliding in any band become candidate pairs
+    (a < b, distinct).  The band bucket join is the only shuffle.
+
+    Skew guard: buckets with more than `max_bucket` members are dropped from
+    pair generation (mirrors ngram_jaccard_pairs' max_df cap) — a single
+    degenerate bucket (boilerplate/near-empty docs sharing a band signature)
+    otherwise explodes quadratically at corpus scale.  True near-dups in an
+    over-full bucket normally still collide in other, smaller buckets, and
+    the downstream exact-jaccard verify filters false positives anyway.
+    Pass max_bucket=None to disable; log_dropped=True runs one extra count
+    action and logs how many buckets were suppressed."""
+    sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
+    banded = _banded(sigs, bands, n_hashes)
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        if log_dropped:
+            n_dropped = counts.filter(F.col("_n") > max_bucket).count()
+            if n_dropped:
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropping %d buckets with > %d members",
+                    n_dropped, max_bucket,
+                )
+        keep = counts.filter(F.col("_n") <= max_bucket).select("band", "bucket")
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
     return (

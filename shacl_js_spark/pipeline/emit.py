@@ -104,7 +104,8 @@ def emit_triples(
             F.initcap(F.col("span.kind")).alias("media_kind"),
         )
     )
-    media_iri = F.concat(F.lit(EX + "media/"), F.sha1(F.col("media_ref")))
+    # md5 (not sha1): portable across engines so the oracle can rebuild it
+    media_iri = F.concat(F.lit(EX + "media/"), F.md5(F.col("media_ref")))
     parts.append(_triple(media, doc_iri, EX + "hasMedia", _iri_cols(media_iri)))
     parts.append(
         _triple(

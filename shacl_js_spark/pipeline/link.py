@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ops.dedup import md5_int
 from .synth import lexicon_df
+
+
+def doc_affinity(doc_col, ent_col):
+    """Deterministic [0,1) affinity from a PORTABLE hash (md5 prefix — same
+    value computable in DuckDB/any engine, unlike xxhash64), so the full
+    pipeline output is oracle-checkable end to end."""
+    return md5_int(F.concat_ws("|", doc_col, ent_col)) % 1000 / 1000.0
 
 
 def link_entities(spark: SparkSession, mentions: DataFrame) -> DataFrame:
@@ -29,8 +37,7 @@ def link_entities(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     cands = lexicon_df(spark)
     scored = mentions.join(F.broadcast(cands), "surface", "inner").withColumn(
         "score",
-        F.col("prior")
-        + 0.2 * (F.pmod(F.xxhash64("doc_id", "entity_id"), F.lit(1000)) / 1000.0),
+        F.col("prior") + 0.2 * doc_affinity(F.col("doc_id"), F.col("entity_id")),
     )
     best = scored.groupBy("doc_id", "span_idx", "token_idx", "surface", "offset").agg(
         F.max(F.struct(F.col("score"), F.col("entity_id"))).alias("_best")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ops.dedup import md5_int
+
 TOKENS_PER_SPAN = 8
 MEDIA_EVERY = 2  # a media span after every 2nd text span
 MEDIA_KINDS = ["image", "audio", "video"]
@@ -58,10 +60,20 @@ def raw_to_interleaved(raw: DataFrame) -> DataFrame:
     MEDIA_EVERY=2): output index k holds a media span when (k+1) % 3 == 0
     (the j-th media, j=(k+1)/3), else the i-th text span with
     i = k - (k+1)//3.  No array_sort: an interpreted comparator lambda over
-    every span pair costed ~70% of pipeline wall time at 10^6 docs."""
+    every span pair costed ~70% of pipeline wall time at 10^6 docs.
+
+    The doc-prefix projection happens FIRST (separate select): a column
+    reference captured inside a higher-order-function lambda resolves against
+    the OUTPUT projection in Spark 4, so building `concat('doc-', doc_id)`
+    inline while also aliasing it to doc_id doubled the prefix inside
+    media_ref (silent until the media triples got a value-hash oracle)."""
+    raw = raw.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text", "lang", "source",
+    )
     toks = F.split(F.col("text"), " ")
     n_spans = F.ceil(F.size(toks) / F.lit(TOKENS_PER_SPAN)).cast("int")
-    doc = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    doc = F.col("doc_id")
     n_media = F.floor(n_spans / F.lit(MEDIA_EVERY)).cast("int")
     total = n_spans + n_media
 
@@ -71,9 +83,10 @@ def raw_to_interleaved(raw: DataFrame) -> DataFrame:
         is_media = (k + 1) % blk == 0
         j = ((k + 1) / blk).cast("int")           # media ordinal (1-based)
         i = (k - F.floor((k + 1) / blk)).cast("int")  # text ordinal (0-based)
+        # portable md5-prefix hash (not xxhash64) so oracles can recompute it
         media_kind = F.element_at(
             F.array(*[F.lit(m) for m in MEDIA_KINDS]),
-            ((F.xxhash64(doc, j) % 3 + 3) % 3 + 1).cast("int"),
+            (md5_int(F.concat_ws("/", doc, j.cast("string"))) % 3 + 1).cast("int"),
         )
         return F.when(
             is_media,

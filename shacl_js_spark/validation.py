@@ -172,6 +172,7 @@ class Engine:
         # parent enc -> child encs; callers that already hold the graph
         # driver-side (fixture harness) can pass the edges to skip a collect
         self._sub_children: dict[str, list[str]] | None = subclass_edges
+        self._distinct_types: list[str] | None = None  # cached once per Engine
         self._stack: list[Term] = []  # shape recursion guard (compile-time cycle reject)
 
     # ------------------------------------------------------------------ data
@@ -208,6 +209,30 @@ class Engine:
                 m.setdefault(r["o"], []).append(r["s"])
             self._sub_children = m
         return self._sub_children
+
+    # classes are ontology-sized, not data-sized; with dirty 100 TB data the
+    # distinct rdf:type object set is unbounded in theory, so hard-cap it
+    # rather than silently materializing millions of driver rows
+    MAX_DISTINCT_TYPES = 100_000
+
+    def distinct_types(self) -> list[str]:
+        """Distinct rdf:type objects in the data graph, collected once per
+        Engine lifetime (used by dash:closedByTypes)."""
+        if self._distinct_types is None:
+            rows = (
+                self.data.filter(F.col("p") == RDF_TYPE_ENC)
+                .select("o")
+                .distinct()
+                .limit(self.MAX_DISTINCT_TYPES + 1)
+                .collect()
+            )
+            if len(rows) > self.MAX_DISTINCT_TYPES:
+                raise ShaclValidationError(
+                    f"more than {self.MAX_DISTINCT_TYPES} distinct rdf:type "
+                    "objects in the data graph; refusing driver-side collect"
+                )
+            self._distinct_types = [r["o"] for r in rows]
+        return self._distinct_types
 
     def data_subclasses(self, cls_enc: str) -> set[str]:
         """Transitive subclasses in the data graph (excludes cls itself)."""
@@ -835,13 +860,13 @@ def _impl_closedbytypes(eng, shape, c, targets, values):
         p = eng.shapes.object(pshape, iri(SH + "path"))
         if p is not None and p.is_iri:
             cls_props.setdefault(cls_node.encoded(), []).append(p.encoded())
-    # data side: focus -> direct types, then zeroOrMore(subClassOf) UP in data
-    parents = {}
-    for (child, parent) in [
-        (r["s"], r["o"])
-        for r in eng.data.filter(F.col("p") == SUBCLASS_ENC).select("s", "o").distinct().collect()
-    ]:
-        parents.setdefault(child, []).append(parent)
+    # data side: focus -> direct types, then zeroOrMore(subClassOf) UP in
+    # data. Invert the Engine-cached parent->children map (one collect per
+    # Engine lifetime, shared with sh:class) instead of re-collecting here.
+    parents: dict[str, list[str]] = {}
+    for parent, children in eng._subclass_children().items():
+        for child in children:
+            parents.setdefault(child, []).append(parent)
 
     def super_closure(t: str) -> set[str]:
         out = {t}
@@ -861,8 +886,9 @@ def _impl_closedbytypes(eng, shape, c, targets, values):
         F.col("s").alias("_n"), F.col("o").alias("_t")
     )
     # expand each focus's direct types to their superclosure driver-side map
-    # via a broadcast mapping (type -> allowed preds over closure)
-    all_types = [r["_t"] for r in typed.select("_t").distinct().collect()]
+    # via a broadcast mapping (type -> allowed preds over closure); the type
+    # list is cached + size-capped on the Engine
+    all_types = eng.distinct_types()
     type_allowed: list[tuple[str, str]] = []
     for t in all_types:
         preds: set[str] = set()
@@ -949,22 +975,29 @@ def _impl_nonrecursive(eng, shape, c, targets, values):
     return eng._rows(fail, shape, c.component.iri)
 
 
+def _encode_uri_component(col):
+    """JS encodeURIComponent as a Column expression. Java URLEncoder
+    (F.url_encode, UTF-8, uppercase hex) differs from encodeURIComponent in
+    exactly seven tokens: space -> '+' vs '%20', and !~'()* which
+    encodeURIComponent leaves bare; fix those up deterministically."""
+    out = F.url_encode(col)
+    for src, dst in [
+        ("+", "%20"), ("%21", "!"), ("%7E", "~"),
+        ("%27", "'"), ("%28", "("), ("%29", ")"),
+    ]:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
 def _impl_primarykey(eng, shape, c, targets, values):
     # validatePrimaryKeyProperty (dash.js:313-325): three failure modes with
-    # exact message strings; encodeURIComponent parity via a pandas UDF.
-    import pandas as pd
-    from urllib.parse import quote
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(StringType())
-    def enc_uri(v: "pd.Series") -> "pd.Series":
-        return v.map(lambda x: quote(x, safe="-_.!~*'()") if x is not None else None)
-
+    # exact message strings; encodeURIComponent parity stays JVM-side
+    # (vectorized url_encode + finite fix-ups, no Python in the path).
     uri_start = c.param_value.value
     cnt = _count_frame(targets, values)
     first_val = values.groupBy("focus").agg(F.min("value_v").alias("_val"))
     frame = cnt.join(first_val, "focus", "left")
-    expected = F.concat(F.lit(uri_start), enc_uri(F.col("_val")))
+    expected = F.concat(F.lit(uri_start), _encode_uri_component(F.col("_val")))
     msg = (
         F.when(F.col("focus_kind") != "iri", F.lit("Must be an IRI"))
         .when(F.col("_cnt") != 1, F.lit("Must have exactly one value"))

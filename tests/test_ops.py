@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from shacl_js_spark.ops.dedup import (
     embedding_cosine_pairs,
     exact_dedup_groups,
+    lsh_candidate_pairs,
     minhash_jaccard_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -48,6 +49,26 @@ def test_minhash_lsh_finds_near_dups(spark):
     pairs = {(r["a"], r["b"]) for r in minhash_jaccard_pairs(df, threshold=0.4).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    # 1k identical docs share every band bucket; without the max_bucket guard
+    # the bucketed self-join materializes ~500k pairs x bands. With the cap
+    # the degenerate buckets are dropped entirely (0 candidate pairs), while
+    # a distinct near-dup pair in its own small bucket survives.
+    rows = [(i, "same words everywhere in all of these documents forever") for i in range(1000)]
+    rows += [(2001, "a genuinely different sentence about spark physical plans"),
+             (2002, "a genuinely different sentence about spark physical plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+    capped = lsh_candidate_pairs(sigs, max_bucket=200, log_dropped=True)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (2001, 2002) in pairs
+    assert not any(a < 2000 and b < 2000 for a, b in pairs)
+    # uncapped on a small slice still yields the dense pairs (guard is opt-out)
+    small = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    dense = lsh_candidate_pairs(minhash_signatures(small), max_bucket=None).count()
+    assert dense == 10  # 5 choose 2
 
 
 def test_minhash_signature_identical_for_identical_text(spark):

@@ -81,8 +81,8 @@ def test_triples_vs_pandas_oracle(spark, docs):
     }
 
     # independent oracle: mention detection in pandas over the raw table;
-    # the argmax affinity is recomputed via Spark's xxhash64 on a driver-built
-    # frame so the oracle shares only the hash function, not the pipeline code
+    # the argmax affinity is recomputed in pure Python (hashlib md5) on a
+    # driver-built frame so the oracle shares no pipeline code at all
     raw = pd.read_parquet(f"{SF}/documents.parquet")
     cand_rows = [
         (s, e, p) for s, cs in ENTITY_LEXICON.items() for (e, p) in cs
@@ -99,9 +99,15 @@ def test_triples_vs_pandas_oracle(spark, docs):
     pairs = sorted(pairs)
     pair_df = spark.createDataFrame(pairs, "doc_id string, surface string")
     cands_df = spark.createDataFrame(cand_rows, "surface string, entity_id string, prior double")
+    import hashlib
+
+    def py_affinity(doc_id, entity_id):
+        h = int(hashlib.md5(f"{doc_id}|{entity_id}".encode()).hexdigest()[:8], 16)
+        return h % 1000 / 1000.0
+
+    aff = F.udf(py_affinity, "double")
     scored = pair_df.join(cands_df, "surface").withColumn(
-        "score",
-        F.col("prior") + 0.2 * (F.pmod(F.xxhash64("doc_id", "entity_id"), F.lit(1000)) / 1000.0),
+        "score", F.col("prior") + 0.2 * aff("doc_id", "entity_id")
     )
     # same argmax rule as link.py: max(struct(score, entity_id))
     expected = {
