@@ -32,14 +32,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "50"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = (2, 8, 32)
+LEVELS = ("2", "8", "32")          # single-JVM local[n] (legacy protocol)
+CLUSTER_LEVELS = ("1x8", "4x8")    # N vs 4N executor JVMs (primary evidence)
 
 
-def _session(cpus: int):
+def _master(spec: str) -> str:
+    """'8' -> local[8]; '4x8' -> local-cluster[4,8,4096] (separate executor
+    JVMs — the true N-executor vs 4N-executor shape of the north rule;
+    sidesteps the single-JVM GC ceiling of local[n])."""
+    if "x" in spec:
+        n, cores = spec.split("x")
+        # 6g per executor JVM: REPLICATE=50 OOM-killed 4g executors mid-run
+        return f"local-cluster[{n},{cores},6144]"
+    return f"local[{spec}]"
+
+
+def _session(cpus: str):
     from pyspark.sql import SparkSession
 
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(_master(str(cpus)))
         .appName(f"scaling-bench-{cpus}")
         # constant partition count across sizes: identical per-task footprint
         .config("spark.sql.shuffle.partitions", "64")
@@ -54,7 +66,7 @@ def _session(cpus: int):
     )
 
 
-def run_pipeline(cpus: int) -> dict:
+def run_pipeline(cpus: str) -> dict:
     from pyspark.sql import functions as F
 
     spark = _session(cpus)
@@ -89,7 +101,7 @@ def run_pipeline(cpus: int) -> dict:
             "triples_per_sec": round(n / wall, 1), "replicate": REPLICATE, "sf_dir": SF_DIR}
 
 
-def run_calibration(cpus: int) -> dict:
+def run_calibration(cpus: str) -> dict:
     from pyspark.sql import functions as F
 
     spark = _session(cpus)
@@ -104,7 +116,7 @@ def run_calibration(cpus: int) -> dict:
             "hashes_per_sec": round(150_000_000 / wall, 0)}
 
 
-def _spawn(kind: str, cpus: int) -> dict:
+def _spawn(kind: str, cpus: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", kind, str(cpus)],
         capture_output=True, text=True, timeout=3600,
@@ -119,12 +131,14 @@ def _spawn(kind: str, cpus: int) -> dict:
 def main() -> None:
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         fn = run_pipeline if sys.argv[2] == "pipe" else run_calibration
-        print("RESULT " + json.dumps(fn(int(sys.argv[3]))))
+        print("RESULT " + json.dumps(fn(sys.argv[3])))
         return
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "cluster")
+    levels = CLUSTER_LEVELS if mode == "cluster" else LEVELS
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
-    pipe: dict[int, dict] = {}
-    cal: dict[int, dict] = {}
-    for cpus in LEVELS:
+    pipe: dict[str, dict] = {}
+    cal: dict[str, dict] = {}
+    for cpus in levels:
         for kind, store in (("pipe", pipe), ("cal", cal)):
             best = None
             for _ in range(trials):
@@ -134,11 +148,11 @@ def main() -> None:
                     best = r
             store[cpus] = best
 
-    def eff(lo: int, hi: int):
+    def eff(lo: str, hi: str):
         sp_pipe = pipe[lo]["wall_sec"] / pipe[hi]["wall_sec"]
         sp_cal = cal[lo]["wall_sec"] / cal[hi]["wall_sec"]
         return {
-            "pair": f"local[{lo}] -> local[{hi}] (N vs 4N)",
+            "pair": f"{_master(lo)} -> {_master(hi)} (N vs 4N)",
             "pipeline_thr_N": pipe[lo]["triples_per_sec"],
             "pipeline_thr_4N": pipe[hi]["triples_per_sec"],
             "pipeline_speedup": round(sp_pipe, 2),
@@ -147,11 +161,15 @@ def main() -> None:
             "calibrated_efficiency": round(sp_pipe / sp_cal, 3),
         }
 
+    pairs = (
+        [eff("1x8", "4x8")] if mode == "cluster" else [eff("2", "8"), eff("8", "32")]
+    )
     summary = {
         "metric": "kg-construction N->4N scaling (raw + host-calibrated)",
-        "pairs": [eff(2, 8), eff(8, 32)],
+        "mode": mode,
+        "pairs": pairs,
         "target": 0.8,
-        "note": "host delivers <4x compute from N to 4N threads (calibration job); "
+        "note": "host delivers <4x compute from N to 4N processes (calibration job); "
                 "calibrated_efficiency = pipeline speedup / host ceiling speedup",
     }
     print(json.dumps(summary))

@@ -51,7 +51,18 @@ def triples_to_rows(triples: list[Triple], g: str = DEFAULT_GRAPH) -> list[tuple
 
 def triples_df(spark: SparkSession, triples: list[Triple], g: str = DEFAULT_GRAPH,
                num_partitions: int | None = None) -> DataFrame:
-    rows = triples_to_rows(triples, g)
+    # RDF graphs have SET semantics (the reference's rdflib store dedups on
+    # insert): a source document stating the same triple twice must not
+    # inflate minCount/maxCount/uniqueLang/qualified counts. Dedup is cheap
+    # here (driver-built list); DataFrame-sourced callers own their own
+    # set-semantics (documented on Engine).
+    seen = set()
+    rows = []
+    for r in triples_to_rows(triples, g):
+        key = (r[0], r[1], r[2])
+        if key not in seen:
+            seen.add(key)
+            rows.append(r)
     df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
     if num_partitions:
         df = df.repartition(num_partitions)

@@ -86,6 +86,7 @@ def connected_components(
     ).distinct()
     nodes = und.select(F.col("src").alias("entity_id")).distinct()
     labels = nodes.withColumn("label", F.col("entity_id")).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         msgs = (
             und.join(labels, und["src"] == labels["entity_id"], "inner")
@@ -105,6 +106,15 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # silent non-convergence corrupts the canonical mapping for long
+        # chain-shaped alias graphs (diameter > max_iter); refuse rather
+        # than return wrong labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or "
+            "pre-contract long chains"
+        )
     return labels.withColumnRenamed("label", "canonical_id")
 
 

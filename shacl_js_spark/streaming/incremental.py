@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..graph import subject_decomposed, object_decomposed
 from ..localgraph import LocalGraph
-from ..validation import RECORD_COLS, Engine
+from ..validation import VIOL_COLS, Engine
 
 
 class IncrementalValidator:
@@ -40,7 +40,11 @@ class IncrementalValidator:
     # -- the foreachBatch callback -------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(self.graph_dir)
-        full = self.spark.read.parquet(self.graph_dir)
+        # RDF set semantics over the accumulated graph: replayed batches
+        # (at-least-once delivery) re-append the same triples; without the
+        # dedup they inflate counts and duplicate report rows (at cluster
+        # scale this is an Iceberg MERGE instead of append+dropDuplicates)
+        full = self.spark.read.parquet(self.graph_dir).dropDuplicates(["s", "p", "o"])
         engine = Engine(self.spark, full, self.shapes, registry=self.registry)
 
         affected = (
@@ -61,20 +65,34 @@ class IncrementalValidator:
             affected = affected.unionByName(frontier).dropDuplicates(["focus"])
 
         out = None
+        revalidated = None
         for shape in engine.ir.shapes_with_target():
             targets = engine.targets_frame(shape).join(
                 affected.select("focus"), "focus", "left_semi"
             )
-            v = engine.shape_violations(shape, targets).select(*RECORD_COLS)
+            revalidated = (
+                targets.select("focus")
+                if revalidated is None
+                else revalidated.unionByName(targets.select("focus"))
+            )
+            # keep the bubble column (the shape's TARGET focus): nested
+            # property violations are recorded under the child focus, so
+            # the report upsert must key on bubble — deleting by recorded
+            # focus left stale grandchild rows to duplicate across batches
+            v = engine.shape_violations(shape, targets).select(*VIOL_COLS)
             out = v if out is None else out.unionByName(v)
         if out is None:
             return
         new_rows = out.withColumn("_batch", F.lit(batch_id)).persist()
 
-        # upsert: drop previous rows for affected focus, append fresh ones
+        # upsert: drop every previous row produced by a re-validated target
+        # (keyed on bubble), append the fresh rows for those targets
         if os.path.isdir(self.report_dir):
             prev = self.spark.read.parquet(self.report_dir)
-            kept = prev.join(affected.select("focus"), "focus", "left_anti")
+            kept = prev.join(
+                revalidated.dropDuplicates(["focus"]).withColumnRenamed("focus", "bubble"),
+                "bubble", "left_anti",
+            )
         else:
             kept = None
         tmp = self.report_dir + ".tmp"
@@ -98,7 +116,7 @@ class IncrementalValidator:
             from pyspark.sql.types import StringType, StructField, StructType
 
             schema = StructType(
-                [StructField(c, StringType(), True) for c in RECORD_COLS]
+                [StructField(c, StringType(), True) for c in VIOL_COLS]
             )
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.report_dir)

@@ -24,6 +24,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -161,6 +163,8 @@ class Engine:
         error_batch: int = -1,
         persist_values: bool = True,
         subclass_edges: dict | None = None,
+        max_driver_results: int = 100_000,
+        max_shape_recursion: int = 25,
     ):
         self.spark = spark
         self.data = data
@@ -168,6 +172,8 @@ class Engine:
         self.registry = registry
         self.ir = ShapesIR(shapes, registry)
         self.error_batch = error_batch
+        self.max_driver_results = max_driver_results
+        self.max_shape_recursion = max_shape_recursion
         self.persist_values = persist_values
         # parent enc -> child encs; callers that already hold the graph
         # driver-side (fixture harness) can pass the edges to skip a collect
@@ -379,6 +385,14 @@ class Engine:
 
     # ------------------------------------------------------------ validation
     def validate(self) -> ValidationReport:
+        """Driver-side report (ref validateAll, validation-engine.js).
+
+        Driver materialization is ALWAYS bounded: error_batch if set
+        (validation-engine-configuration.js semantics), else
+        max_driver_results (default 100k) — a non-conforming 100 TB graph
+        must not OOM the driver because someone called the convenience API.
+        report.truncated flags the cap; the full set stays distributed via
+        report_df()."""
         shapes = self.ir.shapes_with_target()
         out = self._empty_viols().select(*RECORD_COLS)
         for shape in shapes:
@@ -386,9 +400,16 @@ class Engine:
             out = out.unionByName(
                 self.shape_violations(shape, targets).select(*RECORD_COLS)
             )
-        if self.error_batch >= 0:
-            out = out.limit(self.error_batch)
-        rows = out.collect()
+        cap = self.error_batch if self.error_batch >= 0 else self.max_driver_results
+        rows = out.limit(cap + 1).collect()
+        truncated = len(rows) > cap
+        if truncated:
+            rows = rows[:cap]
+            if self.error_batch < 0:
+                logging.getLogger(__name__).warning(
+                    "validation report truncated at max_driver_results=%d; "
+                    "use report_df() for the full distributed report", cap,
+                )
         return ValidationReport(
             [
                 ValidationResult(
@@ -401,7 +422,8 @@ class Engine:
                     message=r["message"],
                 )
                 for r in rows
-            ]
+            ],
+            truncated=truncated,
         )
 
     def report_df(self) -> DataFrame:
@@ -420,9 +442,16 @@ class Engine:
         (ref: validateNodeAgainstShape, validation-engine.js:201-218)."""
         if shape.deactivated:
             return self._empty_viols()
-        if shape.node in self._stack:
+        if self._stack.count(shape.node) >= self.max_shape_recursion:
+            # A well-founded recursive schema (PersonShape -> sh:property ->
+            # sh:node PersonShape) bottoms out earlier via the empty-frontier
+            # check in nonconforming(); reaching this depth means cyclic data
+            # or a path-free shape cycle — where the reference itself would
+            # stack-overflow (index.js:82-92).
             raise ShaclValidationError(
-                f"recursive shape reference at {shape.node} (reference would stack-overflow)"
+                f"recursive shape reference at {shape.node} exceeded "
+                f"max_shape_recursion={self.max_shape_recursion} "
+                "(cyclic data or path-free shape cycle)"
             )
         self._stack.append(shape.node)
         try:
@@ -443,8 +472,17 @@ class Engine:
     def nonconforming(self, shape_node: Term, nodes_df: DataFrame) -> DataFrame:
         """DF['node'] of nodes NOT conforming to the shape — the distributed
         analog of nodeConformsToShape (index.js:82-92); only the set
-        membership escapes (result suppression, validation-engine.js:74-81)."""
+        membership escapes (result suppression, validation-engine.js:74-81).
+
+        Recursive shapes (sh:node cycles) are unrolled DATA-DEPENDENTLY: on
+        re-entry, an empty candidate frontier short-circuits (the recursion
+        is well-founded on acyclic data and stops at the leaves), so e.g.
+        PersonShape{ knows -> PersonShape } validates finite data exactly
+        like the reference. The isEmpty action runs only on re-entry, never
+        on the non-recursive fast path."""
         shape = self.ir.get_shape(shape_node)
+        if shape.node in self._stack and nodes_df.isEmpty():
+            return self.spark.createDataFrame([], "node string")
         viols = self.shape_violations(shape, nodes_df)
         return viols.select(F.col("bubble").alias("node")).dropDuplicates(["node"])
 

@@ -44,6 +44,37 @@ def test_incremental_validation_batches(spark, tmp_path):
     assert r2 == {"http://e/c"}
 
 
+NESTED_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:ParentShape a sh:NodeShape ; sh:targetClass ex:Parent ;
+  sh:property [ sh:path ex:child ;
+    sh:property [ sh:path ex:name ; sh:minCount 1 ] ] .
+"""
+
+
+def test_incremental_nested_property_no_duplicates(spark, tmp_path):
+    # nested property violations are recorded under the CHILD focus but
+    # produced by re-validating the PARENT target; the upsert must key on
+    # the bubble (target focus) or child rows duplicate across batches
+    shapes = LocalGraph.from_turtle(NESTED_SHAPES)
+    iv = IncrementalValidator(spark, shapes, str(tmp_path / "nested"))
+    iv.process_batch(_batch_df(spark, """
+@prefix ex: <http://e/> .
+ex:p a ex:Parent ; ex:child ex:c1 .
+"""), 0)
+    r1 = [row["focus_v"] for row in iv.report().collect()]
+    assert sorted(r1) == ["http://e/c1"]
+    # second batch touches only (p, child, c2): re-validating p re-emits the
+    # c1 row; the old c1 row must be replaced, not kept alongside
+    iv.process_batch(_batch_df(spark, """
+@prefix ex: <http://e/> .
+ex:p ex:child ex:c2 .
+"""), 1)
+    r2 = [row["focus_v"] for row in iv.report().collect()]
+    assert sorted(r2) == ["http://e/c1", "http://e/c2"], r2
+
+
 def test_incremental_via_stream_source(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

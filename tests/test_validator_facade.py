@@ -45,6 +45,32 @@ def test_validate_and_swap(spark):
     assert v._ensure_engine().validate().conforms()
 
 
+def test_driver_materialization_is_bounded(spark):
+    # 60 violating persons but max_driver_results=10: validate() must cap
+    # driver rows and flag truncation; report_df() keeps the full set
+    from shacl_js_spark import Engine, LocalGraph, parse_turtle, triples_df
+
+    data = "@prefix ex: <http://e/> .\n" + "\n".join(
+        f"ex:p{i} a ex:Person ." for i in range(60)
+    )
+    trips, _ = parse_turtle(data)
+    strips, sprefixes = parse_turtle(SHAPES)
+    eng = Engine(
+        spark, triples_df(spark, trips), LocalGraph(strips, sprefixes),
+        max_driver_results=10,
+    )
+    report = eng.validate()
+    assert report.truncated and len(report.results()) == 10
+    assert not report.conforms()
+    assert eng.report_df().count() == 60
+    # error_batch keeps reference semantics and wins over the safety cap
+    eng2 = Engine(
+        spark, triples_df(spark, trips), LocalGraph(strips, sprefixes),
+        error_batch=5, max_driver_results=10,
+    )
+    assert len(eng2.validate().results()) == 5
+
+
 def test_jsonld_input(spark):
     v = SHACLValidator(spark)
     report = v.validate(DATA_JSONLD, "application/ld+json", SHAPES, "text/turtle")
