@@ -1096,6 +1096,40 @@ _DOT = (
 )
 
 
+def _ivf_sql(n_centroids: int = 16, iters: int = 2) -> str:
+    """DuckDB replica of kmeans_centroids + ivf_assign (ops/similarity.py):
+    deterministic seeds, `iters` unrolled Lloyd rounds with 6-dp-rounded
+    per-dimension means, final broadcast-argmax assignment."""
+
+    def assign(cents: str) -> str:
+        return f"""
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.centroid_id) AS rk
+            FROM embeddings e CROSS JOIN {cents} c) WHERE rk = 1
+        """
+
+    parts = [
+        f"cents0 AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce "
+        f"FROM embeddings WHERE vec_id < {n_centroids})"
+    ]
+    for i in range(iters):
+        parts.append(f"a{i} AS ({assign(f'cents{i}')})")
+        parts.append(f"""cents{i + 1} AS (
+          SELECT centroid_id, list(m ORDER BY pos) AS ce FROM (
+            SELECT centroid_id, pos, round(avg(val), 6) AS m
+            FROM (SELECT centroid_id, pos,
+                         CAST(embedding[pos] AS DOUBLE) AS val
+                  FROM a{i}, unnest(range(1, len(embedding) + 1)) AS r(pos))
+            GROUP BY centroid_id, pos)
+          GROUP BY centroid_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM ({assign(f'cents{iters}')})"
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"round({_DOT.format(a=a, b=b)} / "
@@ -1504,15 +1538,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q WHERE vec_id <> 0
             ORDER BY cos DESC, vec_id LIMIT 10
         """,
-        "ann_ivf_assign": f"""
-            WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
-            scored AS (
-              SELECT e.vec_id, c.centroid_id,
-                     row_number() OVER (PARTITION BY e.vec_id
-                                        ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.centroid_id) AS rk
-              FROM embeddings e CROSS JOIN cents c)
-            SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM scored WHERE rk = 1
-        """,
+        "ann_ivf_assign": _ivf_sql(n_centroids=16, iters=2),
         "text_tokens": """
             SELECT doc_id,
                    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,

@@ -42,8 +42,9 @@ def _master(spec: str) -> str:
     sidesteps the single-JVM GC ceiling of local[n])."""
     if "x" in spec:
         n, cores = spec.split("x")
-        # 6g per executor JVM: REPLICATE=50 OOM-killed 4g executors mid-run
-        return f"local-cluster[{n},{cores},6144]"
+        # 8g per executor JVM (exit-52 OOMs at 4g/6g when the single-executor
+        # level holds the whole replicated corpus)
+        return f"local-cluster[{n},{cores},8192]"
     return f"local[{spec}]"
 
 

@@ -8,9 +8,10 @@ This covers the flat/expanded subset sufficient for data documents:
     plain string values)
   * node objects with @id / @type, nested node objects (blank nodes when no
     @id), arrays, value objects {"@value", "@type"|"@language"}, @graph
+  * @list (exploded to rdf:first/rdf:rest chains, same encoding as the
+    Turtle collection path, turtle.py _collection) and @reverse
 
-Not covered (raises): @reverse, @list beyond plain arrays-as-multi-values,
-remote contexts.
+Not covered (raises): remote contexts, @index/@container maps.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from __future__ import annotations
 import json
 
 from .terms import Term, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, bnode, iri, literal
-from .turtle import RDF_TYPE, Triple
+from .turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, Triple
 
 
 class JsonLdError(ValueError):
@@ -58,6 +59,15 @@ class _Parser:
                 for t in value if isinstance(value, list) else [value]:
                     self.triples.append((subj, iri(RDF_TYPE), self._node_term(t)))
                 continue
+            if key == "@reverse":
+                # {"@reverse": {p: o}} states (o, p, subj)
+                if not isinstance(value, dict):
+                    raise JsonLdError("@reverse must map predicates to nodes")
+                for rkey, rval in value.items():
+                    pred = iri(self._expand(rkey))
+                    for v in rval if isinstance(rval, list) else [rval]:
+                        self.triples.append((self.parse_value(v), pred, subj))
+                continue
             if key.startswith("@"):
                 raise JsonLdError(f"unsupported JSON-LD keyword {key}")
             pred = iri(self._expand(key))
@@ -65,8 +75,28 @@ class _Parser:
                 self.triples.append((subj, pred, self.parse_value(v)))
         return subj
 
+    def _list(self, items: list) -> Term:
+        """rdf:first/rdf:rest chain, mirroring turtle.py _collection."""
+        if not items:
+            return iri(RDF_NIL)
+        head = self._fresh()
+        cur = head
+        for i, item in enumerate(items):
+            self.triples.append((cur, iri(RDF_FIRST), self.parse_value(item)))
+            if i + 1 < len(items):
+                nxt = self._fresh()
+                self.triples.append((cur, iri(RDF_REST), nxt))
+                cur = nxt
+            else:
+                self.triples.append((cur, iri(RDF_REST), iri(RDF_NIL)))
+        return head
+
     def parse_value(self, v) -> Term:
         if isinstance(v, dict):
+            if "@list" in v:
+                if not isinstance(v["@list"], list):
+                    raise JsonLdError("@list value must be an array")
+                return self._list(v["@list"])
             if "@value" in v:
                 val = v["@value"]
                 if "@language" in v:

@@ -2,16 +2,25 @@
 typed metadata; decode / feature-extract / resize / frame-sample as Arrow-
 batched mapInPandas stages.
 
-The actual codecs are NOT in this container, so the decode step is stubbed
-behind a deterministic fake (kind-dependent synthetic payloads) while the
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-is real and tested.  Swapping `_decode_fake` for PIL/torchaudio/pyav is a
-one-function change; the plan shape (mapInPandas over binary columns,
-metadata pushdown, per-batch vectorization) is what matters at 100 TB.
+Decode status:
+  * image — REAL: payloads are actual P6 PPM files; decode_image parses the
+    header + RGB plane with numpy (no external codec needed).
+  * audio — REAL: payloads are actual RIFF/WAVE PCM16 files; decode_audio
+    parses them with the stdlib `wave` module.
+  * video — STUB: no container/codec parseable without external libs;
+    _decode_fake produces a deterministic pseudo-signal and a real decoder
+    (pyav frame sampling) raises NotImplementedError at the marked point.
+
+The plan shape (mapInPandas over binary columns, metadata pushdown, per-batch
+vectorization) is identical for all three — swapping in PIL/pyav is a
+one-function change.
 """
 
 from __future__ import annotations
 
+import hashlib
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -51,10 +60,59 @@ FEATURE_SCHEMA = StructType(
 FEATURE_DIM = 8
 
 
+SAMPLE_RATE = 8000
+
+
+def _det_bytes(seed: str, n: int) -> bytes:
+    """n deterministic bytes from an md5 chain over the seed."""
+    out = bytearray()
+    block = seed.encode()
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def encode_ppm(seed: str, width: int, height: int) -> bytes:
+    """A real P6 PPM image with deterministic RGB content."""
+    return f"P6\n{width} {height}\n255\n".encode() + _det_bytes(seed, width * height * 3)
+
+
+def encode_wav(seed: str, duration_ms: int, rate: int = SAMPLE_RATE) -> bytes:
+    """A real RIFF/WAVE file (PCM16 mono) with deterministic samples."""
+    n = max(1, rate * duration_ms // 1000)
+    pcm = np.frombuffer(_det_bytes(seed, n * 2), dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL P6 PPM parse -> float32 (h, w, 3)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    raw = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8)
+    return raw.astype(np.float32).reshape(h, w, 3)
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """REAL WAV parse (stdlib wave) -> float32 samples in [-1, 1]."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+
+
 def synth_media_table(docs_spans: DataFrame) -> DataFrame:
     """Build the binary media table from the interleaved documents' media
-    spans — payload is a deterministic fake encoding (bytes of the ref hash),
-    metadata is hash-derived.  Real ingestion would read object-store blobs."""
+    spans.  Image/audio payloads are REAL encoded files (PPM / WAV) built in
+    an Arrow-batched mapInPandas stage; video payloads stay opaque bytes.
+    Real ingestion would read object-store blobs instead."""
     media = (
         docs_spans.select(F.explode("spans").alias("span"))
         .filter(F.col("span.kind") != "text")
@@ -64,25 +122,50 @@ def synth_media_table(docs_spans: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    h = F.xxhash64("media_ref")
-    return media.select(
+    h = F.abs(F.xxhash64("media_ref"))
+    meta = media.select(
         "media_ref",
         "kind",
-        F.encode(F.sha2(F.col("media_ref"), 256), "utf-8").cast("binary").alias("payload"),
-        (F.pmod(h, F.lit(1920)) + 64).cast("int").alias("width"),
-        (F.pmod(h, F.lit(1080)) + 64).cast("int").alias("height"),
-        (F.pmod(h, F.lit(60000)) + 1000).cast("int").alias("duration_ms"),
+        (F.pmod(h, F.lit(48)) + 16).cast("int").alias("width"),
+        (F.pmod(h, F.lit(27)) + 9).cast("int").alias("height"),
+        (F.pmod(h, F.lit(160)) + 40).cast("int").alias("duration_ms"),
     )
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for ref, kind, w, hh, ms in zip(
+                pdf["media_ref"], pdf["kind"], pdf["width"], pdf["height"], pdf["duration_ms"]
+            ):
+                if kind == "image":
+                    payloads.append(encode_ppm(ref, int(w), int(hh)))
+                elif kind == "audio":
+                    payloads.append(encode_wav(ref, int(ms)))
+                else:  # video: opaque container bytes (no stdlib codec)
+                    payloads.append(_det_bytes(ref, 256))
+            pdf = pdf.assign(payload=payloads)
+            yield pdf[["media_ref", "kind", "payload", "width", "height", "duration_ms"]]
+
+    return meta.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
 
 
 def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decode: deterministic pseudo-signal from the payload bytes.
-    Replace with PIL.Image.open / soundfile.read / pyav frame sampling when
-    codecs are available (raise NotImplementedError to make that explicit)."""
-    if kind not in ("image", "audio", "video"):
-        raise NotImplementedError(f"decode for kind={kind!r} not implemented")
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    return arr
+    """STUB decode for video only: deterministic pseudo-signal from the
+    payload bytes.  A real implementation samples frames via pyav — raise
+    NotImplementedError here when wiring that in."""
+    if kind != "video":
+        raise NotImplementedError(f"_decode_fake is video-only, got {kind!r}")
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+
+
+def decode(payload: bytes, kind: str) -> np.ndarray:
+    if kind == "image":
+        return decode_image(payload).ravel()
+    if kind == "audio":
+        return decode_audio(payload)
+    if kind == "video":
+        return _decode_fake(payload, kind)
+    raise NotImplementedError(f"decode for kind={kind!r} not implemented")
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -94,7 +177,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             feats = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                sig = _decode_fake(payload, kind)
+                sig = decode(payload, kind)
                 # fixed-dim pooled feature: mean over FEATURE_DIM strides
                 chunks = np.array_split(sig, FEATURE_DIM)
                 feats.append([float(np.round(c.mean(), 4)) if len(c) else 0.0 for c in chunks])

@@ -8,9 +8,13 @@
   K ≪ corpus, broadcast); a query probes only its centroid's bucket, cutting
   scanned vectors by ~K at equal recall for clustered data.
 
-Centroids here are taken deterministically (vec_id < K) instead of k-means —
-the plumbing (broadcast centroids, argmin assignment, bucket-pruned search)
-is the part that matters for the 100 TB plan shape.
+Centroids: deterministic seeds (vec_id < K) refined by Lloyd iterations in
+pure DataFrame ops (assign -> per-dimension mean -> repeat).  Means are
+rounded to 6 decimals each round so the trained centroids — and therefore
+the bucket assignment — are engine-independent (the DuckDB oracle replays
+the same iterations).  Per iteration: one broadcast crossjoin (corpus x K)
++ one (centroid, dim) aggregation — both map-side-combinable, no
+corpus-sized shuffle.
 """
 
 from __future__ import annotations
@@ -36,11 +40,8 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFram
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """Assign every vector to its nearest centroid (centroid = vec_id < K)."""
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
-    )
+def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id) via broadcast argmax over csim."""
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     return (
         emb.crossJoin(F.broadcast(cents))
@@ -49,6 +50,36 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("vec_id", "embedding", "centroid_id")
     )
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 2) -> DataFrame:
+    """(centroid_id, ce) after `iters` Lloyd rounds from deterministic seeds
+    (vec_id < K).  Per-dimension means rounded to 6 dp for cross-engine
+    reproducibility; empty clusters drop out naturally."""
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = _nearest(emb, cents)
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+        )
+        cents = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("ce")
+            )
+        )
+    return cents
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, iters: int = 2) -> DataFrame:
+    """Assign every vector to its nearest k-means centroid."""
+    return _nearest(emb, kmeans_centroids(emb, n_centroids, iters))
 
 
 def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 16) -> DataFrame:

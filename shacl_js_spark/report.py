@@ -39,8 +39,16 @@ class ValidationResult:
     def resultPath(self) -> str | None:
         return self.path.value if self.path else None
 
+    #: separator joining multiple sh:message values (Engine.MESSAGE_SEP)
+    MESSAGE_SEP = "\x1e"
+
     def resultMessage(self) -> str | None:
-        return self.message
+        return self.messages()[0] if self.message else None
+
+    def messages(self) -> list[str]:
+        """All sh:resultMessage values (the reference emits one triple per
+        shape-level sh:message, validation-engine.js:149-173)."""
+        return self.message.split(self.MESSAGE_SEP) if self.message else []
 
 
 class ValidationReport:
@@ -75,7 +83,8 @@ class ValidationReport:
             if r.value is not None:
                 node[sh + "value"] = r.value.value
             if r.message:
-                node[sh + "resultMessage"] = r.message
+                msgs = r.messages()
+                node[sh + "resultMessage"] = msgs[0] if len(msgs) == 1 else msgs
             nodes.append(node)
         return {
             "@graph": [
@@ -156,6 +165,23 @@ def report_triples_df(spark, report_df):
             F.col("value").alias("o"), F.col("value_v").alias("o_v"),
             F.col("value_kind").alias("o_kind"), F.col("value_dt").alias("o_dt"),
             F.col("value_lang").alias("o_lang"), F.lit(G).alias("g"),
+        ).select(*TRIPLE_FIELDS)
+    )
+    # one sh:resultMessage triple per sh:message value (MESSAGE_SEP-joined
+    # in the message column; ref validation-engine.js:149-173)
+    msg = F.explode(
+        F.split(F.col("message"), ValidationResult.MESSAGE_SEP)
+    ).alias("_m")
+    esc = F.regexp_replace(F.col("_m"), '(["\\\\])', r"\\$1")
+    parts.append(
+        rows.filter(F.col("message").isNotNull())
+        .select(rid.alias("s"), msg)
+        .select(
+            F.col("s"), F.lit(f"<{SH}resultMessage>").alias("p"),
+            F.concat(F.lit('"'), esc, F.lit('"')).alias("o"),
+            F.col("_m").alias("o_v"), F.lit("literal").alias("o_kind"),
+            F.lit("http://www.w3.org/2001/XMLSchema#string").alias("o_dt"),
+            F.lit(None).cast("string").alias("o_lang"), F.lit(G).alias("g"),
         ).select(*TRIPLE_FIELDS)
     )
     out = parts[0]

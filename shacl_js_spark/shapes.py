@@ -239,8 +239,23 @@ class ShapesIR:
         skip = iri(DASH + "ParameterConstraintComponent")
         known = {c.iri for c in self.components}
         for node in self.g.instances_of(cc):
-            if node == skip or not node.is_iri or node.value in known:
+            if node == skip or not node.is_iri:
                 continue
+            if node.value in known:
+                # The reference discovers components from the merged
+                # (auto-imported vocab + user) shapes graph, so a user
+                # declaration that RE-declares a vocab component with its own
+                # validator overrides the built-in behavior
+                # (shapes-graph.js:364-385). Mirror that: replace the static
+                # def with a registry-backed one iff the user supplies a
+                # validator; otherwise keep the built-in.
+                if not (
+                    self._has_js_validator(node, SH + "validator")
+                    or self._has_js_validator(node, SH + "propertyValidator")
+                    or self._has_js_validator(node, SH + "nodeValidator")
+                ):
+                    continue
+                self.components = [c for c in self.components if c.iri != node.value]
             params: dict[str, str] = {}
             optionals: set[str] = set()
             for p_node in self.g.objects(node, iri(SH + "parameter")):

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import logging
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -113,6 +115,22 @@ def _js_regex_to_java(pattern: str, flags: str | None) -> str:
     return prefix + pattern
 
 
+_JAVA_REGEX_OK: dict[str, bool] = {}
+
+
+def _java_regex_compiles(spark: SparkSession, pattern: str) -> bool:
+    """Driver-side probe: does java.util.regex accept this pattern?  JS
+    accepts constructs Java rejects (dangling '{', some escapes); patterns
+    are shapes-graph-sized, so the result is memoized per pattern."""
+    if pattern not in _JAVA_REGEX_OK:
+        try:
+            spark._jvm.java.util.regex.Pattern.compile(pattern)
+            _JAVA_REGEX_OK[pattern] = True
+        except Exception:
+            _JAVA_REGEX_OK[pattern] = False
+    return _JAVA_REGEX_OK[pattern]
+
+
 _INT_LEX = r"^\s*[+-]?[0-9]"          # JS parseInt(lex) not NaN
 _FLOAT_LEX = r"^\s*[+-]?([0-9]|\.[0-9])"  # JS parseFloat(lex) not NaN
 
@@ -121,7 +139,12 @@ _FLOAT_LEX = r"^\s*[+-]?([0-9]|\.[0-9])"  # JS parseFloat(lex) not NaN
 # createResultMessages when neither shape nor validator overrides,
 # validation-engine.js:149-173).  {$param}/{?param} substituted driver-side.
 DEFAULT_MESSAGES: dict[str, str] = {
+    SH + "ClassConstraintComponent": "Value does not have class {$class}",
+    SH + "ClosedConstraintComponent": "Predicate {?path} is not allowed (closed shape)",
     SH + "DatatypeConstraintComponent": "Value does not have datatype {$datatype}",
+    SH + "DisjointConstraintComponent":
+        "Value node must not also be one of the values of {$disjoint}",
+    SH + "EqualsConstraintComponent": "Must have same values as {$equals}",
     SH + "HasValueConstraintComponent": "Value must be {$hasValue}",
     SH + "InConstraintComponent": "Value is not in {$in}",
     SH + "LanguageInConstraintComponent": "Language does not match any of {$languageIn}",
@@ -143,6 +166,9 @@ DEFAULT_MESSAGES: dict[str, str] = {
         "More than {$qualifiedMaxCount} values have shape {$qualifiedValueShape}",
     SH + "QualifiedMinCountConstraintComponent":
         "Less than {$qualifiedMinCount} values have shape {$qualifiedValueShape}",
+    DASH + "ClosedByTypesConstraintComponent":
+        "Property {?path} is not among those permitted for any of the types",
+    DASH + "SubSetOfConstraintComponent": "Must be one of the values of {$subSetOf}",
     DASH + "CoExistsWithConstraintComponent": "Values must co-exist with values of {$coExistsWith}",
     DASH + "HasValueWithClassConstraintComponent":
         "At least one of the values must have class {$hasValueWithClass}",
@@ -150,6 +176,13 @@ DEFAULT_MESSAGES: dict[str, str] = {
     DASH + "PrimaryKeyConstraintComponent": "Violation of primary key constraint",
     DASH + "RootClassConstraintComponent": "Value must be subclass of {$rootClass}",
     DASH + "StemConstraintComponent": "Value does not have stem {$stem}",
+}
+
+# property-validator messages that differ from the node form
+# (vocabularies/dash.ttl:1245 hasValue, :1157 disjoint)
+PROPERTY_DEFAULT_MESSAGES: dict[str, str] = {
+    SH + "HasValueConstraintComponent": "Missing expected value {$hasValue}",
+    SH + "DisjointConstraintComponent": "Property must not share any values with {$disjoint}",
 }
 
 
@@ -523,13 +556,17 @@ class Engine:
             message_col.alias("message"),
         )
 
+    #: separates multiple sh:message values inside the single message column;
+    #: report sinks split on it (the reference emits one resultMessage triple
+    #: per sh:message, validation-engine.js:149-173)
+    MESSAGE_SEP = "\x1e"
+
     def _shape_message(self, shape: Shape) -> Column:
         # shape-level sh:message wins (createResultMessages,
-        # validation-engine.js:149-173); {$param} substitution happens at the
-        # call sites that know the params. Default component messages omitted
-        # (not part of report comparison).
+        # validation-engine.js:149-173); ALL sh:message values are kept,
+        # joined with MESSAGE_SEP for the sinks to split.
         if shape.messages:
-            return F.lit(shape.messages[0].value)
+            return F.lit(self.MESSAGE_SEP.join(m.value for m in shape.messages))
         return _NULL()
 
     def _num_param(self, t: Term) -> float | None:
@@ -566,22 +603,62 @@ class Engine:
         if rows is not None:
             default = self._default_message(shape, c)
             if default is not None:
+                if "{?path}" in default:
+                    # row-level substitution: closed/closedByTypes record the
+                    # OFFENDING predicate in the path column
+                    default_col = F.replace(
+                        F.lit(default), F.lit("{?path}"), self._label_col(F.col("path"))
+                    )
+                else:
+                    default_col = F.lit(default)
                 rows = rows.withColumn(
-                    "message", F.coalesce(F.col("message"), F.lit(default))
+                    "message", F.coalesce(F.col("message"), default_col)
                 )
         return rows
+
+    def _param_label(self, val: Term) -> str:
+        """nodeLabel (validation-engine.js:6-29) incl. the Collection branch:
+        an rdf:List param ({$in}, {$languageIn}) renders as the ', '-joined
+        element labels, not 'Blank node _:bN'."""
+        if val.is_bnode:
+            try:
+                items = self.shapes.rdf_list(val)
+            except ValueError:
+                items = []  # a non-list bnode (e.g. an inline shape)
+            if items:
+                return ", ".join(_node_label(t, self.shapes.prefixes) for t in items)
+        return _node_label(val, self.shapes.prefixes)
+
+    def _label_col(self, col: Column) -> Column:
+        """Per-row nodeLabel for ENCODED terms ('<iri>' form): prefix-shorten
+        against the shapes-graph namespaces, else keep the <iri> rendering."""
+        import re as _re
+
+        bare = F.regexp_extract(col, "^<(.*)>$", 1)
+        out = col  # non-IRI encodings pass through
+        for p, ns in self.shapes.prefixes.items():
+            out = F.when(
+                bare.startswith(ns),
+                F.regexp_replace(bare, "^" + _re.escape(ns), p + ":"),
+            ).otherwise(out)
+        return out
 
     def _default_message(self, shape: Shape, c: Constraint) -> str | None:
         """Component default message with {$param}/{?param} substitution
         (ref: createResultMessages + withSubstitutions,
-        validation-engine.js:149-173, 316-325)."""
-        msg = DEFAULT_MESSAGES.get(c.component.iri)
+        validation-engine.js:149-173, 316-325); property-validator variants
+        (dash.ttl:1245, :1157) win on property shapes."""
+        msg = None
+        if shape.is_property_shape:
+            msg = PROPERTY_DEFAULT_MESSAGES.get(c.component.iri)
+        if msg is None:
+            msg = DEFAULT_MESSAGES.get(c.component.iri)
         if msg is None:
             return None
         for lname, val in c.params.items():
             if val is None:
                 continue
-            label = _node_label(val, self.shapes.prefixes)
+            label = self._param_label(val)
             msg = msg.replace("{$" + lname + "}", label).replace("{?" + lname + "}", label)
         return msg
 
@@ -655,10 +732,33 @@ def _impl_nodekind(eng, shape, c, targets, values):
 
 def _impl_pattern(eng, shape, c, targets, values):
     # validatePattern (dash.js:305-311): bnode fails; regex over value.value
-    # (IRIs included). JS RegExp -> Java regex with inline flags.
+    # (IRIs included). JS RegExp -> Java regex with inline flags (rlike,
+    # whole-stage codegen fast path). Patterns Java rejects (JS-only syntax
+    # like a dangling '{') fall back to an Arrow-vectorized Python re —
+    # Python shares JS's lenient treatment of those constructs.
     flags = c.params.get("flags")
-    java_re = _js_regex_to_java(c.params["pattern"].value, flags.value if flags else None)
-    ok = (F.col("value_kind") != "bnode") & F.col("value_v").rlike(java_re)
+    flag_str = flags.value if flags else None
+    raw = c.params["pattern"].value
+    java_re = _js_regex_to_java(raw, flag_str)
+    if _java_regex_compiles(eng.spark, java_re):
+        matched = F.col("value_v").rlike(java_re)
+    else:
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        pyflags = 0
+        for ch, fl in (("i", _re.I), ("m", _re.M), ("s", _re.S)):
+            if flag_str and ch in flag_str:
+                pyflags |= fl
+        rx = _re.compile(raw, pyflags)
+
+        @pandas_udf("boolean")
+        def _js_match(v: pd.Series) -> pd.Series:
+            return v.map(lambda x: x is not None and rx.search(x) is not None)
+
+        matched = _js_match(F.col("value_v"))
+    ok = (F.col("value_kind") != "bnode") & matched
     return eng._rows(values.filter(~ok), shape, c.component.iri)
 
 
@@ -1251,7 +1351,10 @@ def _custom(self: Engine, shape, c, targets, values, style):
     rows = validator(self, shape, c, targets, values, style)
     if rows is None:
         return None
-    shape_msg = shape.messages[0].value if shape.messages else None
+    shape_msg = (
+        Engine.MESSAGE_SEP.join(m.value for m in shape.messages)
+        if shape.messages else None
+    )
     default = _custom_default_message(self, shape, c)
     return rows.withColumn(
         "message",

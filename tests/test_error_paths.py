@@ -94,6 +94,54 @@ ex:a a ex:T .
         _engine(spark, ttl).validate()
 
 
+def test_default_message_parity(spark):
+    # vocab-default messages (vocabularies/dash.ttl): property-form hasValue,
+    # list-param rendering for sh:in, per-row {?path} for sh:closed, and one
+    # result message per shape-level sh:message
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:HV a sh:NodeShape ; sh:targetNode ex:a ;
+  sh:property [ sh:path ex:v ; sh:hasValue "needed" ] .
+ex:IN a sh:NodeShape ; sh:targetNode ex:a ;
+  sh:property [ sh:path ex:w ; sh:in ( "x" ex:y ) ] .
+ex:CL a sh:NodeShape ; sh:targetNode ex:a ; sh:closed true ;
+  sh:property [ sh:path ex:v ; sh:minCount 0 ] ;
+  sh:property [ sh:path ex:w ; sh:minCount 0 ] .
+ex:MM a sh:NodeShape ; sh:targetNode ex:a ;
+  sh:property [ sh:path ex:missing ; sh:minCount 1 ;
+                sh:message "first" ; sh:message "second" ] .
+ex:a ex:v "other" ; ex:w "bad" ; ex:extra "boom" .
+"""
+    report = _engine(spark, ttl).validate()
+    by_comp = {}
+    for r in report.results():
+        by_comp.setdefault(r.component.rsplit("#", 1)[1], []).append(r)
+    assert by_comp["HasValueConstraintComponent"][0].resultMessage() == \
+        "Missing expected value needed"
+    assert by_comp["InConstraintComponent"][0].resultMessage() == \
+        "Value is not in x, ex:y"
+    assert by_comp["ClosedConstraintComponent"][0].resultMessage() == \
+        "Predicate ex:extra is not allowed (closed shape)"
+    mm = sorted(m for r in by_comp["MinCountConstraintComponent"] for m in r.messages())
+    assert mm == ["first", "second"]
+
+
+def test_js_only_pattern_falls_back_to_python_re(spark):
+    # /a{b/ is a valid JS regex (dangling '{' is literal) but Java regex
+    # rejects it -> pandas-UDF fallback path; rlike fast path untouched
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:v ; sh:pattern "a{b" ] .
+ex:x a ex:T ; ex:v "za{bz" .
+ex:y a ex:T ; ex:v "nope" .
+"""
+    report = _engine(spark, ttl).validate()
+    assert sorted(r.focusNode() for r in report.results()) == ["http://e/y"]
+
+
 def test_duplicate_source_triples_are_set_semantics(spark):
     # the same triple stated twice must not trip maxCount 1 (rdflib stores
     # are sets; ADVICE r01)

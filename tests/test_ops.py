@@ -133,14 +133,41 @@ def test_text_ops(spark, docs):
     assert fp.select("fp_md5").distinct().count() == 50
 
 
+def test_media_codecs_roundtrip():
+    # REAL encode/decode without Spark: P6 PPM and RIFF/WAVE PCM16
+    import numpy as np
+
+    from shacl_js_spark.ops.multimodal import (
+        decode_audio, decode_image, encode_ppm, encode_wav,
+    )
+
+    img = decode_image(encode_ppm("media://x/1", 20, 10))
+    assert img.shape == (10, 20, 3) and img.dtype == np.float32
+    assert 0 <= img.min() and img.max() <= 255
+    au = decode_audio(encode_wav("media://x/2", duration_ms=100))
+    assert au.shape == (800,)  # 8 kHz * 100 ms
+    assert -1.0 <= au.min() and au.max() <= 1.0
+    # determinism: same ref -> identical bytes
+    assert encode_ppm("m", 4, 4) == encode_ppm("m", 4, 4)
+
+
 def test_multimodal_plumbing(spark):
-    from shacl_js_spark.ops.multimodal import extract_features, frame_sample_plan, synth_media_table
+    from shacl_js_spark.ops.multimodal import (
+        decode_audio, decode_image, extract_features, frame_sample_plan, synth_media_table,
+    )
     from shacl_js_spark.pipeline.synth import interleaved_documents
 
     docs = interleaved_documents(spark, SF).limit(20)
     media = synth_media_table(docs)
-    n = media.count()
+    rows_media = media.collect()
+    n = len(rows_media)
     assert n > 0
+    # payloads are REAL encoded files consistent with the typed metadata
+    for r in rows_media:
+        if r["kind"] == "image":
+            assert decode_image(r["payload"]).shape == (r["height"], r["width"], 3)
+        elif r["kind"] == "audio":
+            assert len(decode_audio(r["payload"])) == 8000 * r["duration_ms"] // 1000
     feats = extract_features(media)
     rows = feats.collect()
     assert len(rows) == n

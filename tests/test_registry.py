@@ -46,3 +46,40 @@ def test_function_registration(spark):
     inv2 = by_focus[EX + "InvalidExampleShape"]
     assert inv2.resultPath() is None
     assert inv2.resultMessage() == "Shape is constantly valid false"
+
+
+def test_vocab_component_override(spark):
+    # a shapes graph that RE-declares sh:PatternConstraintComponent with its
+    # own validator must override the built-in rlike behavior (the reference
+    # merges vocab + user component triples, shapes-graph.js:364-385)
+    from shacl_js_spark import Engine, LocalGraph, parse_turtle, triples_df
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+sh:PatternConstraintComponent a sh:ConstraintComponent ;
+  sh:parameter [ sh:path sh:pattern ] ;
+  sh:validator [ a sh:JSValidator ; sh:jsFunctionName "alwaysFail" ] .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:v ; sh:pattern "^match" ] .
+ex:a a ex:T ; ex:v "matches fine" .
+"""
+    reg = ValidatorRegistry()
+    reg.register("alwaysFail", lambda values, params: [False] * len(values), kind="value")
+    trips, prefixes = parse_turtle(ttl)
+    report = Engine(
+        spark, triples_df(spark, trips), LocalGraph(trips, prefixes), registry=reg
+    ).validate()
+    # built-in pattern would conform; the override rejects everything
+    assert not report.conforms()
+    assert report.results()[0].focusNode() == "http://e/a"
+    # without a user validator the built-in stays in charge
+    ttl2 = ttl.replace(
+        '  sh:validator [ a sh:JSValidator ; sh:jsFunctionName "alwaysFail" ] .',
+        "  sh:message \"just metadata\" .",
+    )
+    trips2, prefixes2 = parse_turtle(ttl2)
+    report2 = Engine(
+        spark, triples_df(spark, trips2), LocalGraph(trips2, prefixes2), registry=reg
+    ).validate()
+    assert report2.conforms()

@@ -71,6 +71,56 @@ def test_driver_materialization_is_bounded(spark):
     assert len(eng2.validate().results()) == 5
 
 
+LIST_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:tags ;
+  sh:property [ sh:path ex:tags ; sh:nodeKind sh:BlankNode ] .
+ex:R a sh:NodeShape ; sh:targetSubjectsOf ex:parent ;
+  sh:property [ sh:path ex:parent ; sh:minCount 1 ] .
+"""
+
+LIST_TTL = """
+@prefix ex: <http://e/> .
+ex:a ex:tags ("x" "y") .
+ex:b ex:parent ex:a .
+ex:c ex:tags "scalar" .
+"""
+
+LIST_JSONLD = """
+{
+  "@context": {"ex": "http://e/"},
+  "@graph": [
+    {"@id": "ex:a", "ex:tags": {"@list": ["x", "y"]},
+     "@reverse": {"ex:parent": {"@id": "ex:b"}}},
+    {"@id": "ex:c", "ex:tags": "scalar"}
+  ]
+}
+"""
+
+
+def test_jsonld_list_and_reverse_match_turtle_twin(spark):
+    # a @list document must validate identically to its Turtle twin
+    # (list heads are bnodes -> conform; ex:c's scalar tag violates), and
+    # @reverse must state the inverted triple (ex:b ex:parent ex:a)
+    got_ttl = SHACLValidator(spark).validate(LIST_TTL, "text/turtle", LIST_SHAPES)
+    got_ld = SHACLValidator(spark).validate(LIST_JSONLD, "application/ld+json", LIST_SHAPES)
+    f_ttl = sorted(r.focusNode() for r in got_ttl.results())
+    f_ld = sorted(r.focusNode() for r in got_ld.results())
+    assert f_ttl == f_ld == ["http://e/c"]
+    # the rdf:first/rest encodings are term-identical modulo bnode ids
+    from shacl_js_spark import parse_turtle
+    from shacl_js_spark.jsonld import parse_jsonld
+
+    def skeleton(trips):
+        return sorted(
+            (s.kind, p.value, o.kind, o.value if o.kind != "bnode" else "*")
+            for (s, p, o) in trips
+        )
+
+    assert skeleton(parse_turtle(LIST_TTL)[0]) == skeleton(parse_jsonld(LIST_JSONLD)[0])
+
+
 def test_jsonld_input(spark):
     v = SHACLValidator(spark)
     report = v.validate(DATA_JSONLD, "application/ld+json", SHAPES, "text/turtle")
