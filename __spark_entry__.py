@@ -33,6 +33,7 @@ from shacl_js_spark.ops.dedup import (
     exact_dedup_groups,
     hash_params,
     lsh_candidate_pairs,
+    minhash_jaccard_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -845,6 +846,25 @@ def q_ann_ivf_assign(spark, sf_dir):
     return ivf_assign(emb, n_centroids=16).select("vec_id", F.col("centroid_id").cast("bigint").alias("centroid_id"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from shacl_js_spark.ops.similarity import ivf_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=7, k=10, n_centroids=16).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+    )
+
+
+def q_dedup_verified_jaccard(spark, sf_dir):
+    docs = _pq(spark, sf_dir, "documents")
+    return minhash_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
 # --- text analysis --------------------------------------------------------------
 
 def q_text_tokens(spark, sf_dir):
@@ -934,6 +954,47 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    # TPC-H Q6 shape: pure filter + aggregate — the pushdown/pruning probe
+    # (the scan should read 4 columns and push all three predicates)
+    li = _pq(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").cast("double") >= 0.02)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((d("l_extendedprice") * d("l_discount")).cast("decimal(38,4)"))
+            .cast("decimal(38,4)").cast("string").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q3_top10(spark, sf_dir):
+    # TPC-H Q3 shape: 3-way join + agg + deterministic top-10
+    li = _pq(spark, sf_dir, "lineitem")
+    o = _pq(spark, sf_dir, "orders")
+    c = _pq(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(38,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("_rev").cast("string").alias("revenue"),
+        )
+    )
+
+
 def q_tpch_region_revenue(spark, sf_dir):
     li = _pq(spark, sf_dir, "lineitem")
     o = _pq(spark, sf_dir, "orders")
@@ -1008,9 +1069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_verified_jaccard": q_dedup_verified_jaccard,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # text analysis
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -1021,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         # classic
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3_top10": q_tpch_q3_top10,
         "tpch_region_revenue": q_tpch_region_revenue,
     }
 
@@ -1096,10 +1161,11 @@ _DOT = (
 )
 
 
-def _ivf_sql(n_centroids: int = 16, iters: int = 2) -> str:
+def _ivf_with(n_centroids: int = 16, iters: int = 2) -> str:
     """DuckDB replica of kmeans_centroids + ivf_assign (ops/similarity.py):
     deterministic seeds, `iters` unrolled Lloyd rounds with 6-dp-rounded
-    per-dimension means, final broadcast-argmax assignment."""
+    per-dimension means, final broadcast-argmax assignment (CTE chain ending
+    in `final_assign`)."""
 
     def assign(cents: str) -> str:
         return f"""
@@ -1124,10 +1190,29 @@ def _ivf_sql(n_centroids: int = 16, iters: int = 2) -> str:
                   FROM a{i}, unnest(range(1, len(embedding) + 1)) AS r(pos))
             GROUP BY centroid_id, pos)
           GROUP BY centroid_id)""")
+    parts.append(f"final_assign AS ({assign(f'cents{iters}')})")
+    return "WITH " + ",\n".join(parts)
+
+
+def _ivf_sql(n_centroids: int = 16, iters: int = 2) -> str:
     return (
-        "WITH " + ",\n".join(parts)
-        + f" SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM ({assign(f'cents{iters}')})"
+        _ivf_with(n_centroids, iters)
+        + " SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id FROM final_assign"
     )
+
+
+def _ivf_topk_sql(query_vec_id: int, k: int, n_centroids: int = 16, iters: int = 2) -> str:
+    """Bucket-pruned cosine top-k replica of ivf_topk (ops/similarity.py)."""
+    return f"""{_ivf_with(n_centroids, iters)},
+        q AS (SELECT embedding AS qe, centroid_id AS qc FROM final_assign
+              WHERE vec_id = {query_vec_id})
+        SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+               {_cos_sql('a.embedding', 'q.qe')} AS cos
+        FROM final_assign a JOIN q ON a.centroid_id = q.qc
+        WHERE a.vec_id <> {query_vec_id}
+        ORDER BY cos DESC, a.vec_id
+        LIMIT {k}
+    """
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -1539,6 +1624,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "ann_ivf_assign": _ivf_sql(n_centroids=16, iters=2),
+        "ann_ivf_topk": _ivf_topk_sql(query_vec_id=7, k=10),
+        "dedup_verified_jaccard": f"""
+            WITH sigs AS ({_minhash_sql()}),
+            banded AS (
+              {' UNION ALL '.join(
+                  "SELECT doc_id, %d AS band, md5(CAST(mh_%d AS VARCHAR) || '_' || CAST(mh_%d AS VARCHAR)) AS bucket FROM sigs"
+                  % (b, 2 * b, 2 * b + 1)
+                  for b in range(LSH_BANDS)
+              )}
+            ),
+            keep AS (SELECT band, bucket FROM banded
+                     GROUP BY band, bucket HAVING count(*) <= {MAX_LSH_BUCKET}),
+            kept AS (SELECT banded.* FROM banded JOIN keep USING (band, bucket)),
+            cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                      FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+                                             AND l.doc_id < r.doc_id),
+            sh AS ({_shingles_sql()}),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            shared AS (
+              SELECT c.a, c.b, count(*) AS inter
+              FROM cands c JOIN sh sa ON sa.doc_id = c.a
+                           JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+            SELECT CAST(s.a AS BIGINT) AS a, CAST(s.b AS BIGINT) AS b,
+                   round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+            FROM shared s JOIN sizes na ON na.doc_id = s.a
+                          JOIN sizes nb ON nb.doc_id = s.b
+            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+        """,
         "text_tokens": """
             SELECT doc_id,
                    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
@@ -1592,6 +1706,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6": """
+            SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DOUBLE) >= 0.02
+              AND l_quantity < 24
+        """,
+        "tpch_q3_top10": """
+            SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+                   CAST(rev AS VARCHAR) AS revenue
+            FROM (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS rev
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY l_orderkey
+              ORDER BY rev DESC, l_orderkey
+              LIMIT 10)
         """,
         "tpch_region_revenue": """
             SELECT r_name,

@@ -36,6 +36,19 @@ TRIPLE_SCHEMA = StructType([StructField(n, StringType(), True) for n in TRIPLE_F
 DEFAULT_GRAPH = "urn:x-shacl:dataGraph"  # ref: index.js:26
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate lineage inside an iterative fixpoint (zeroOrMore paths,
+    connected components).  Uses RELIABLE checkpointing — survives executor
+    loss, required for long fixpoints on a real cluster — whenever the
+    session has a checkpoint dir configured (sc.setCheckpointDir, typically
+    HDFS/object-store); falls back to fast localCheckpoint otherwise
+    (single-host / tests)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def term_to_row_parts(t: Term) -> tuple[str, str, str, str | None, str | None]:
     """(enc, v, kind, dt, lang) for a term."""
     return (t.encoded(), t.value, t.kind, t.datatype, t.lang)

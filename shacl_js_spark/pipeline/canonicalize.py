@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..graph import cut_lineage
 from .synth import ENTITY_LEXICON
 
 
@@ -85,7 +86,7 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     nodes = und.select(F.col("src").alias("entity_id")).distinct()
-    labels = nodes.withColumn("label", F.col("entity_id")).localCheckpoint(eager=True)
+    labels = cut_lineage(nodes.withColumn("label", F.col("entity_id")))
     changed = 0
     for _ in range(max_iter):
         msgs = (
@@ -93,14 +94,13 @@ def connected_components(
             .groupBy(F.col("dst").alias("entity_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = cut_lineage(
             labels.join(msgs, "entity_id", "left")
             .select(
                 "entity_id",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")

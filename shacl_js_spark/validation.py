@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from .graph import (
+    cut_lineage,
     js_number,
     object_decomposed,
     subject_decomposed,
@@ -393,15 +394,14 @@ class Engine:
             # iterative fixpoint join with per-round checkpointing
             # (SURVEY.md §4 custom machinery #1; cycle guard = the anti-join)
             while True:
-                frontier = (
+                frontier = cut_lineage(
                     self._walk(child, frontier)
                     .dropDuplicates(["focus", "cur"])
                     .join(acc, ["focus", "cur"], "left_anti")
-                    .localCheckpoint(eager=True)
                 )
                 if frontier.isEmpty():
                     break
-                acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+                acc = cut_lineage(acc.unionByName(frontier))
             return acc
         raise ValueError(f"unknown path kind {path.kind}")
 
@@ -751,7 +751,13 @@ def _impl_pattern(eng, shape, c, targets, values):
         for ch, fl in (("i", _re.I), ("m", _re.M), ("s", _re.S)):
             if flag_str and ch in flag_str:
                 pyflags |= fl
-        rx = _re.compile(raw, pyflags)
+        try:
+            rx = _re.compile(raw, pyflags)
+        except _re.error as e:
+            raise ShaclValidationError(
+                f"invalid sh:pattern {raw!r}: rejected by both Java regex "
+                f"and the Python fallback ({e})"
+            ) from e
 
         @pandas_udf("boolean")
         def _js_match(v: pd.Series) -> pd.Series:

@@ -177,3 +177,37 @@ def test_unsupported_path_rejected(spark):
         compile_path(g, bnode("_:x"))
     with pytest.raises(ValueError, match="unsupported SHACL path"):
         compile_path(g, literal("oops"))
+
+
+def test_cut_lineage_uses_reliable_checkpoint_when_configured(tmp_path):
+    # subprocess: setCheckpointDir is sticky on the SparkContext and must not
+    # leak into the shared test session
+    import subprocess
+    import sys
+
+    code = f"""
+import os, sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from shacl_js_spark.graph import cut_lineage
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+ckpt = "{tmp_path}/ckpt"
+local = cut_lineage(spark.range(10))
+assert not os.path.isdir(ckpt)  # no dir configured -> localCheckpoint path
+spark.sparkContext.setCheckpointDir(ckpt)
+reliable = cut_lineage(spark.range(10))
+reliable.count()
+# reliable checkpoint materializes RDD blocks under the configured dir
+files = [os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs]
+assert files, "no reliable checkpoint files written"
+# the fixpoint consumers still work under reliable checkpointing
+from shacl_js_spark.pipeline.canonicalize import connected_components
+edges = spark.createDataFrame([("a","b"),("b","c")], "src string, dst string")
+out = {{(r["entity_id"], r["canonical_id"]) for r in
+       connected_components(spark, edges, driver_threshold=0).collect()}}
+assert out == {{("a","a"),("b","a"),("c","a")}}, out
+print("CKPT-OK")
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
+    assert "CKPT-OK" in res.stdout, res.stdout[-500:] + res.stderr[-1500:]
