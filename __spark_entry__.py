@@ -895,6 +895,69 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_pq(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
 
 
+# --- curation (PII / repetition / contamination / packing) ---------------------
+
+def _pii_decorated(docs):
+    """The synthetic corpus contains no PII-shaped strings, so plant
+    deterministic ones in known doc subsets (mirrored in the oracle SQL) —
+    otherwise the scan verifies nothing but zeros."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 13 == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com now"))
+                   ).otherwise(F.lit("")),
+            F.when(d % 29 == 0,
+                   F.concat(F.lit(" call +1 (555) 010-"), (d % 10000).cast("string"))
+                   ).otherwise(F.lit("")),
+            F.when(d % 37 == 0, F.lit(" id 123-45-6789 ok")).otherwise(F.lit("")),
+            F.when(d % 41 == 0,
+                   F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".7 up"))
+                   ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_cur_pii(spark, sf_dir):
+    from shacl_js_spark.ops.curation import pii_scan
+
+    return pii_scan(_pii_decorated(_pq(spark, sf_dir, "documents"))).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn_like", "any_pii", "text_redacted"
+    )
+
+
+def q_cur_repetition(spark, sf_dir):
+    from shacl_js_spark.ops.curation import repetition_stats
+
+    return repetition_stats(_pq(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.col("distinct_ratio").cast("double").alias("distinct_ratio"),
+        F.col("top_share").cast("double").alias("top_share"),
+    )
+
+
+def q_cur_contamination(spark, sf_dir):
+    from shacl_js_spark.ops.curation import contamination_check
+
+    docs = _pq(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, benchmark, n=8, threshold=0.5).select(
+        "doc_id", "n_grams", "n_hit",
+        F.col("overlap").cast("double").alias("overlap"),
+        "contaminated",
+    )
+
+
+def q_cur_pack(spark, sf_dir):
+    from shacl_js_spark.ops.curation import pack_sequences
+
+    return pack_sequences(_pq(spark, sf_dir, "documents"), budget=512).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
 # --- events (windowed analytics) --------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
@@ -1079,6 +1142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        # curation (PII / repetition / contamination / packing)
+        "cur_pii": q_cur_pii,
+        "cur_repetition": q_cur_repetition,
+        "cur_contamination": q_cur_contamination,
+        "cur_pack": q_cur_pack,
         # events
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1212,6 +1280,48 @@ def _ivf_topk_sql(query_vec_id: int, k: int, n_centroids: int = 16, iters: int =
         WHERE a.vec_id <> {query_vec_id}
         ORDER BY cos DESC, a.vec_id
         LIMIT {k}
+    """
+
+
+def _cur_pii_sql() -> str:
+    from shacl_js_spark.ops.curation import PII_PATTERNS
+
+    counts = ",\n".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    any_pii = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0" for pat in PII_PATTERNS.values()
+    )
+    redacted = "text"
+    for name, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+        WITH decorated AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 13 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+                 || CASE WHEN doc_id % 29 = 0 THEN ' call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR) ELSE '' END
+                 || CASE WHEN doc_id % 37 = 0 THEN ' id 123-45-6789 ok' ELSE '' END
+                 || CASE WHEN doc_id % 41 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' ELSE '' END
+                 AS text
+          FROM documents)
+        SELECT doc_id, {counts}, ({any_pii}) AS any_pii, {redacted} AS text_redacted
+        FROM decorated
+    """
+
+
+def _ngram8_sql() -> str:
+    """Distinct md5-prefix hashes of 8-token shingles per doc (short docs
+    contribute their single clamped gram), mirroring _ngram_hashes(n=8)."""
+    return """
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, list_aggregate(toks[i:i+7], 'string_agg', ' ') AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+               unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS r(i))
+        WHERE g <> ''
     """
 
 
@@ -1679,6 +1789,47 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5
             FROM documents
+        """,
+        "cur_pii": _cur_pii_sql(),
+        "cur_repetition": """
+            WITH t AS (
+              SELECT doc_id, tok FROM documents,
+                     unnest(string_split(text, ' ')) AS u(tok) WHERE tok <> ''),
+            pt AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY doc_id, tok)
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio,
+                   round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+            FROM pt GROUP BY doc_id
+        """,
+        "cur_contamination": f"""
+            WITH g AS ({_ngram8_sql()}),
+            bench AS (SELECT DISTINCT h FROM g
+                      WHERE CAST(doc_id AS BIGINT) % 97 = 0),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            hits AS (SELECT g.doc_id, count(*) AS n_hit
+                     FROM g JOIN bench ON g.h = bench.h GROUP BY g.doc_id)
+            SELECT s.doc_id,
+                   CAST(s.n_grams AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                   round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams, 6) AS overlap,
+                   CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_grams >= 0.5 AS contaminated
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "cur_pack": """
+            WITH sized AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM sized)
+            SELECT doc_id, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

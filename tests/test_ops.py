@@ -175,3 +175,41 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=5000)
     if media.filter(F.col("kind") == "video").count() > 0:
         assert frames.count() > 0
+
+
+def test_curation_ops(spark):
+    from shacl_js_spark.ops.curation import (
+        contamination_check, pack_sequences, pii_scan, repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob@example.com or +1 (555) 123-4567 today"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, "a perfectly normal diverse sentence with many words here"),
+        ],
+        "doc_id long, text string",
+    )
+    pii = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert pii[1]["n_email"] == 1 and pii[1]["n_phone"] == 1 and pii[1]["any_pii"]
+    assert "<EMAIL>" in pii[1]["text_redacted"] and "<PHONE>" in pii[1]["text_redacted"]
+    assert "bob@example.com" not in pii[1]["text_redacted"]
+    assert not pii[3]["any_pii"]
+
+    rep = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rep[2]["n_distinct"] == 1 and rep[2]["top_share"] == 1.0
+    assert rep[3]["distinct_ratio"] == 1.0
+
+    # doc 2 IS the benchmark -> fully contaminated; doc 3 disjoint -> clean
+    bench = df.filter(F.col("doc_id") == 2)
+    cont = {r["doc_id"]: r for r in contamination_check(df, bench, n=3).collect()}
+    assert cont[2]["contaminated"] and cont[2]["overlap"] == 1.0
+    assert not cont[3]["contaminated"] and cont[3]["n_hit"] == 0
+
+    packs = {r["doc_id"]: r for r in pack_sequences(df, budget=10).collect()}
+    # tape layout (budget 10): doc1 = 9 tokens at [0,9); doc2 = 8 tokens at
+    # [9,17) straddling into pack 1; doc3 starts at 17 -> pack 1 offset 7
+    assert packs[1]["n_tokens"] == 9
+    assert packs[1]["pack_id"] == 0 and packs[1]["pack_offset"] == 0
+    assert packs[2]["pack_id"] == 0 and packs[2]["pack_offset"] == 9
+    assert packs[3]["pack_id"] == 1 and packs[3]["pack_offset"] == 7
