@@ -1191,10 +1191,12 @@ _MD5INT = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
 def _shingles_sql() -> str:
+    # range end mirrors shingles()'s clamped sequence: docs shorter than 3
+    # tokens contribute one clamped shingle
     return """
         SELECT DISTINCT doc_id, list_aggregate(toks[i:i+2], 'string_agg', ' ') AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             unnest(range(1, greatest(len(toks) - 1, 1))) AS r(i)
+             unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
         WHERE list_aggregate(toks[i:i+2], 'string_agg', ' ') <> ''
     """
 
@@ -1761,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
             FROM shared s JOIN sizes na ON na.doc_id = s.a
                           JOIN sizes nb ON nb.doc_id = s.b
-            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5
+            WHERE round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) >= 0.5
         """,
         "text_tokens": """
             SELECT doc_id,

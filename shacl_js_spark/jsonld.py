@@ -60,12 +60,19 @@ class _Parser:
                     self.triples.append((subj, iri(RDF_TYPE), self._node_term(t)))
                 continue
             if key == "@reverse":
-                # {"@reverse": {p: o}} states (o, p, subj)
+                # {"@reverse": {p: o}} states (o, p, subj); o must be a node
+                # object / IRI reference — a literal or @list here is an
+                # 'invalid reverse property value' per the JSON-LD spec
                 if not isinstance(value, dict):
                     raise JsonLdError("@reverse must map predicates to nodes")
                 for rkey, rval in value.items():
                     pred = iri(self._expand(rkey))
                     for v in rval if isinstance(rval, list) else [rval]:
+                        if not isinstance(v, dict) or "@value" in v or "@list" in v:
+                            raise JsonLdError(
+                                f"invalid reverse property value for {rkey}: "
+                                "must be a node object"
+                            )
                         self.triples.append((self.parse_value(v), pred, subj))
                 continue
             if key.startswith("@"):

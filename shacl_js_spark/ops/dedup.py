@@ -46,10 +46,13 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """n-gram (token-level) shingles, distinct per doc."""
+    """n-gram (token-level) shingles, distinct per doc.  Documents shorter
+    than n tokens contribute one clamped shingle (the floor of 1 in the
+    sequence end also prevents a descending sequence(1,0), whose 0 start
+    index crashes slice())."""
     toks = F.split(F.col(text_col), " ")
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return (

@@ -107,14 +107,25 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
-        # silent non-convergence corrupts the canonical mapping for long
-        # chain-shaped alias graphs (diameter > max_iter); refuse rather
-        # than return wrong labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter or "
-            "pre-contract long chains"
+        # the final allowed round still flipped labels — it may have JUST
+        # converged; one verification round distinguishes that from a real
+        # truncation (silent non-convergence corrupts the canonical mapping
+        # for chain-shaped alias graphs with diameter > max_iter)
+        verify = (
+            und.join(labels, und["src"] == labels["entity_id"], "inner")
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.min("label").alias("nbr_min"))
+            .join(labels, "entity_id", "inner")
+            .filter(F.col("nbr_min") < F.col("label"))
+            .limit(1)
+            .count()
         )
+        if verify != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter); raise max_iter or "
+                "pre-contract long chains"
+            )
     return labels.withColumnRenamed("label", "canonical_id")
 
 

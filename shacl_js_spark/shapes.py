@@ -241,6 +241,8 @@ class ShapesIR:
         for node in self.g.instances_of(cc):
             if node == skip or not node.is_iri:
                 continue
+            inherited_params: dict[str, str] = {}
+            inherited_opt: set[str] = set()
             if node.value in known:
                 # The reference discovers components from the merged
                 # (auto-imported vocab + user) shapes graph, so a user
@@ -248,16 +250,24 @@ class ShapesIR:
                 # validator overrides the built-in behavior
                 # (shapes-graph.js:364-385). Mirror that: replace the static
                 # def with a registry-backed one iff the user supplies a
-                # validator; otherwise keep the built-in.
+                # validator; otherwise keep the built-in.  The built-in's
+                # PARAMETERS are inherited (merged under the user's) — in the
+                # reference the vocab's sh:parameter triples are still in the
+                # merged graph, so e.g. sh:flags stays recognized when a user
+                # redeclares PatternConstraintComponent listing only
+                # sh:pattern.
                 if not (
                     self._has_js_validator(node, SH + "validator")
                     or self._has_js_validator(node, SH + "propertyValidator")
                     or self._has_js_validator(node, SH + "nodeValidator")
                 ):
                     continue
+                old = next(c for c in self.components if c.iri == node.value)
+                inherited_params = dict(old.params)
+                inherited_opt = set(old.optionals)
                 self.components = [c for c in self.components if c.iri != node.value]
-            params: dict[str, str] = {}
-            optionals: set[str] = set()
+            params: dict[str, str] = inherited_params
+            optionals: set[str] = inherited_opt
             for p_node in self.g.objects(node, iri(SH + "parameter")):
                 path = self.g.object(p_node, iri(SH + "path"))
                 if path is None or not path.is_iri:

@@ -477,14 +477,18 @@ class Engine:
             return self._empty_viols()
         if self._stack.count(shape.node) >= self.max_shape_recursion:
             # A well-founded recursive schema (PersonShape -> sh:property ->
-            # sh:node PersonShape) bottoms out earlier via the empty-frontier
-            # check in nonconforming(); reaching this depth means cyclic data
-            # or a path-free shape cycle — where the reference itself would
-            # stack-overflow (index.js:82-92).
+            # sh:node PersonShape) bottoms out via the empty-frontier check
+            # in nonconforming() — but only once the data's recursion depth
+            # is exhausted.  Reaching this cap therefore means cyclic data, a
+            # path-free shape cycle (the reference would stack-overflow,
+            # index.js:82-92), OR acyclic data deeper than the cap — the
+            # error says so and names the knob.
             raise ShaclValidationError(
                 f"recursive shape reference at {shape.node} exceeded "
-                f"max_shape_recursion={self.max_shape_recursion} "
-                "(cyclic data or path-free shape cycle)"
+                f"max_shape_recursion={self.max_shape_recursion}; either the "
+                "data/shape graph is cyclic, or the acyclic recursion depth "
+                "exceeds the cap — raise Engine(max_shape_recursion=...) for "
+                "deeper finite data"
             )
         self._stack.append(shape.node)
         try:
@@ -514,8 +518,14 @@ class Engine:
         like the reference. The isEmpty action runs only on re-entry, never
         on the non-recursive fast path."""
         shape = self.ir.get_shape(shape_node)
-        if shape.node in self._stack and nodes_df.isEmpty():
-            return self.spark.createDataFrame([], "node string")
+        if shape.node in self._stack:
+            # cut lineage at every recursion level: without this the logical
+            # plan NESTS once per level and a ~30-deep chain OOMs the driver
+            # during analysis before the depth cap can fire (observed:
+            # java.lang.OutOfMemoryError in generateTreeString)
+            nodes_df = cut_lineage(nodes_df)
+            if nodes_df.isEmpty():
+                return self.spark.createDataFrame([], "node string")
         viols = self.shape_violations(shape, nodes_df)
         return viols.select(F.col("bubble").alias("node")).dropDuplicates(["node"])
 
@@ -557,9 +567,9 @@ class Engine:
         )
 
     #: separates multiple sh:message values inside the single message column;
-    #: report sinks split on it (the reference emits one resultMessage triple
-    #: per sh:message, validation-engine.js:149-173)
-    MESSAGE_SEP = "\x1e"
+    #: single source of truth is ValidationResult.MESSAGE_SEP (the splitter) —
+    #: aliased here so the joiner and splitters cannot drift apart
+    MESSAGE_SEP = ValidationResult.MESSAGE_SEP
 
     def _shape_message(self, shape: Shape) -> Column:
         # shape-level sh:message wins (createResultMessages,

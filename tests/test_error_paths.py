@@ -211,3 +211,14 @@ print("CKPT-OK")
 """
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
     assert "CKPT-OK" in res.stdout, res.stdout[-500:] + res.stderr[-1500:]
+
+
+def test_connected_components_exact_boundary_converges(spark):
+    # propagation completes ON the final allowed round: the verification
+    # round must recognize convergence instead of raising
+    from shacl_js_spark.pipeline.canonicalize import connected_components
+
+    chain = [("n0", "n1"), ("n1", "n2"), ("n2", "n3")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    out = connected_components(spark, df, max_iter=3, driver_threshold=0)
+    assert {r["canonical_id"] for r in out.collect()} == {"n0"}

@@ -213,3 +213,19 @@ def test_curation_ops(spark):
     assert packs[1]["pack_id"] == 0 and packs[1]["pack_offset"] == 0
     assert packs[2]["pack_id"] == 0 and packs[2]["pack_offset"] == 9
     assert packs[3]["pack_id"] == 1 and packs[3]["pack_offset"] == 7
+
+
+def test_shingles_short_docs_no_crash(spark):
+    # 1- and 2-token docs previously crashed slice() via a descending
+    # sequence(1,0); they now contribute one clamped shingle
+    from shacl_js_spark.ops.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "three word doc"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["shingle"] for r in shingles(df).collect()}
+    assert rows[1] == "solo" and rows[2] == "two words" and rows[3] == "three word doc"
+    assert 4 not in rows  # empty text -> no shingle
+    # and the minhash path over the same frame completes
+    assert minhash_signatures(df).count() == 3

@@ -83,3 +83,39 @@ ex:a a ex:T ; ex:v "matches fine" .
         spark, triples_df(spark, trips2), LocalGraph(trips2, prefixes2), registry=reg
     ).validate()
     assert report2.conforms()
+
+
+def test_vocab_override_inherits_builtin_params(spark):
+    # redeclaring PatternConstraintComponent with only sh:pattern must keep
+    # sh:flags recognized (the reference's vocab parameter triples stay in
+    # the merged graph)
+    from shacl_js_spark import Engine, LocalGraph, parse_turtle, triples_df
+
+    ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+sh:PatternConstraintComponent a sh:ConstraintComponent ;
+  sh:parameter [ sh:path sh:pattern ] ;
+  sh:validator [ a sh:JSValidator ; sh:jsFunctionName "flagAware" ] .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:v ; sh:pattern "^m" ; sh:flags "i" ] .
+ex:a a ex:T ; ex:v "Matches" .
+ex:b a ex:T ; ex:v "nope" .
+"""
+    def flag_aware(values, params):
+        # runs on executors (Arrow batches) — prove flags arrived via the
+        # VERDICT: 'Matches' conforms to '^m' only under the 'i' flag
+        import re
+        fl = re.I if (params.get("flags") and "i" in params["flags"].value) else 0
+        rx = re.compile(params["pattern"].value, fl)
+        return [rx.search(v) is not None for v in values["value_v"]]
+
+    reg = ValidatorRegistry()
+    reg.register("flagAware", flag_aware, kind="value")
+    trips, prefixes = parse_turtle(ttl)
+    report = Engine(
+        spark, triples_df(spark, trips), LocalGraph(trips, prefixes), registry=reg
+    ).validate()
+    # ex:a ('Matches') conforms ONLY if sh:flags "i" reached the custom
+    # validator through the inherited built-in parameter binding
+    assert [r.focusNode() for r in report.results()] == ["http://e/b"]

@@ -150,3 +150,13 @@ def test_report_sinks(spark):
     assert "<http://www.w3.org/ns/shacl#conforms>" in preds
     conforms = [r for r in rows if r["p"].endswith("#conforms>")]
     assert conforms[0]["o_v"] == "false"
+
+
+def test_jsonld_reverse_rejects_literals(spark):
+    import pytest
+
+    from shacl_js_spark.jsonld import JsonLdError, parse_jsonld
+
+    bad = '{"@context":{"ex":"http://e/"},"@id":"ex:a","@reverse":{"ex:p":"a literal"}}'
+    with pytest.raises(JsonLdError, match="invalid reverse property value"):
+        parse_jsonld(bad)
