@@ -751,14 +751,27 @@ def q_kg_links_prior(spark, sf_dir):
 
 
 def q_kg_cooccur(spark, sf_dir):
-    links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id").distinct()
-    a = links.select("doc_id", F.col("entity_id").alias("ea"))
-    b = links.select("doc_id", F.col("entity_id").alias("eb"))
-    return (
-        a.join(b, "doc_id")
-        .filter(F.col("ea") < F.col("eb"))
-        .groupBy("ea", "eb")
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    # production shape (emit.py's grouped explosion): per-doc entity sets
+    # exploded to ordered pairs map-side — no row-level self-join on doc_id
+    links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id")
+    grouped = links.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("entity_id")).alias("ents")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ents"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ents"), i + 2, F.size("ents")),
+                        lambda b: F.struct(a.alias("ea"), b.alias("eb")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
     )
 
 
