@@ -989,6 +989,36 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessions_closed(spark, sf_dir):
+    """Runs the REAL applyInPandasWithState streaming sessionizer
+    (availableNow trigger over the events parquet) and returns the closed
+    sessions; the oracle is the lag-window batch twin minus each user's
+    final (still-open) session."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from shacl_js_spark.streaming.sessions import sessionize_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a DIRECTORY; stage the single parquet
+    src_dir = tempfile.mkdtemp(prefix="evs_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    qname = f"evs_closed_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        "user_id", "session_start_ms", "session_end_ms",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -1163,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_sessions_closed": q_events_sessions_closed,
         # classic
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
@@ -1862,6 +1893,33 @@ def oracle_sql() -> dict[str, str]:
                                  OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "events_sessions_closed": """
+            WITH p AS (
+              SELECT CAST(user_id AS BIGINT) AS user_id,
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 1000 AS ts_ms,
+                     CAST(value AS DOUBLE) AS value
+              FROM events),
+            m AS (
+              SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                               OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+            s AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                            ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM m),
+            agg AS (
+              SELECT user_id, sess_id,
+                     min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 4) AS total_value
+              FROM s GROUP BY user_id, sess_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY session_start_ms DESC) AS rk
+              FROM agg)
+            SELECT user_id, session_start_ms, session_end_ms, n_events, total_value
+            FROM ranked WHERE rk > 1
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -106,3 +106,56 @@ def test_windowed_counts_streaming(spark, tmp_path):
     assert rows
     batch = windowed_counts(ev).collect()
     assert len(rows) == len(batch)
+
+
+def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
+    # applyInPandasWithState sessionization over a real stream equals the
+    # batch lag-window twin (modulo each user's final still-open session)
+    import os
+
+    from shacl_js_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src)
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"],
+         round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = sessionize_batch(ev)
+    expected_all = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"],
+         round(r["total_value"], 4))
+        for r in batch.collect()
+    }
+    # the stream emits only CLOSED sessions; each user's last session stays
+    # open (no timeout fires in availableNow mode) -> expected = all minus
+    # each user's final session
+    from pyspark.sql import Window, functions as F2
+
+    w = Window.partitionBy("user_id").orderBy(F2.col("session_start_ms").desc())
+    finals = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"],
+         round(r["total_value"], 4))
+        for r in batch.withColumn("rk", F2.row_number().over(w))
+        .filter("rk = 1").drop("rk").collect()
+    }
+    assert got == expected_all - finals, (
+        len(got), len(expected_all), len(finals),
+        list(got - (expected_all - finals))[:3],
+        list((expected_all - finals) - got)[:3],
+    )
+    assert got  # non-trivial: at least one closed session observed
