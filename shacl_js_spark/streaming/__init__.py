@@ -9,7 +9,12 @@ This package provides the streaming analogs:
 
   events.windowed_counts — watermarked tumbling-window aggregation for
   append streams (the canonical readStream -> window -> writeStream shape).
+
+  sessions.sessionize_stream — per-user session-gap operator with arbitrary
+  state (applyInPandasWithState); sessions.sessionize_batch is its
+  lag-window batch twin.
 """
 
-from .incremental import IncrementalValidator
 from .events import windowed_counts
+from .incremental import IncrementalValidator
+from .sessions import sessionize_batch, sessionize_stream

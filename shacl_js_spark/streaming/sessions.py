@@ -44,36 +44,45 @@ STATE_SCHEMA = StructType([
 GAP_MS = 1_800_000  # 30 min, same rule as the events_sessions batch query
 
 
-def _sessionize_user(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    closed: list[tuple] = []
-    if state.hasTimedOut:
-        if state.exists:
-            s0, last, n, tot = state.get
-            closed.append((user_id, s0, last, n, tot))
-            state.remove()
-    else:
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms")
-        cur = state.get if state.exists else None
-        for ts, val in zip(rows["ts_ms"], rows["value"]):
-            ts, val = int(ts), float(val)
-            if cur is None:
-                cur = (ts, ts, 1, val)
-            elif ts - cur[1] > GAP_MS:
-                closed.append((user_id, *cur))
-                cur = (ts, ts, 1, val)
-            else:
-                cur = (cur[0], ts, cur[2] + 1, cur[3] + val)
-        if cur is not None:
-            state.update(cur)
-            try:
-                state.setTimeoutDuration(GAP_MS)
-            except Exception:
-                pass  # NoTimeout mode: timeouts not configured
-    if closed:
-        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+def _make_sessionizer(gap_ms: int):
+    """State function closing over the gap (serialized to executors via
+    cloudpickle) — the gap_ms parameter must actually take effect, not the
+    module constant."""
+
+    def _sessionize_user(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n, tot = state.get
+                closed.append((user_id, s0, last, n, tot))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms")
+            cur = state.get if state.exists else None
+            for ts, val in zip(rows["ts_ms"], rows["value"]):
+                ts, val = int(ts), float(val)
+                if cur is None:
+                    cur = (ts, ts, 1, val)
+                elif ts - cur[1] > gap_ms:
+                    closed.append((user_id, *cur))
+                    cur = (ts, ts, 1, val)
+                else:
+                    cur = (cur[0], ts, cur[2] + 1, cur[3] + val)
+            if cur is not None:
+                state.update(cur)
+                try:
+                    state.setTimeoutDuration(gap_ms)
+                except Exception:
+                    pass  # NoTimeout mode: timeouts not configured
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_SCHEMA.fields]
+            )
+
+    return _sessionize_user
 
 
 def sessionize_stream(
@@ -92,7 +101,7 @@ def sessionize_stream(
         F.col("value").cast("double").alias("value"),
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _sessionize_user,
+        _make_sessionizer(gap_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
