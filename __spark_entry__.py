@@ -775,6 +775,17 @@ def q_kg_cooccur(spark, sf_dir):
     )
 
 
+def q_kg_entity_counts_salted(spark, sf_dir):
+    """Hot-entity mention counts via the EXPLICIT two-phase salted
+    aggregation (pipeline/skew.py) — the oracle proves salted == plain."""
+    from shacl_js_spark.pipeline.skew import entity_mention_counts
+
+    links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id")
+    return entity_mention_counts(links, buckets=16).select(
+        "entity_id", F.col("n_mentions").cast("bigint").alias("n_mentions")
+    )
+
+
 def q_kg_canonical(spark, sf_dir):
     return connected_components(spark, alias_edges(spark)).select("entity_id", "canonical_id")
 
@@ -1166,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_links_prior": q_kg_links_prior,
         "kg_cooccur": q_kg_cooccur,
+        "kg_entity_counts_salted": q_kg_entity_counts_salted,
         "kg_canonical": q_kg_canonical,
         "kg_triples_full": q_kg_triples_full,
         # dedup family
@@ -1713,6 +1725,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.entity_id AS ea, b.entity_id AS eb, CAST(count(*) AS BIGINT) AS n_docs
             FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
             GROUP BY ea, eb
+        """,
+        "kg_entity_counts_salted": f"""
+            WITH links AS ({links_prior})
+            SELECT entity_id, CAST(count(*) AS BIGINT) AS n_mentions
+            FROM links GROUP BY entity_id
         """,
         "kg_canonical": f"""
             WITH RECURSIVE edges AS (
