@@ -1009,21 +1009,32 @@ def q_events_sessions_closed(spark, sf_dir):
     import tempfile
     import uuid
 
-    from shacl_js_spark.streaming.sessions import sessionize_stream
+    from shacl_js_spark.streaming.sessions import SESSION_SCHEMA, sessionize_stream
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a DIRECTORY; stage the single parquet
     src_dir = tempfile.mkdtemp(prefix="evs_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", src_dir)
-    stream = spark.readStream.schema(schema).parquet(src_dir)
     qname = f"evs_closed_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
-    return spark.sql(f"SELECT * FROM {qname}").select(
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sessionization stream did not finish in 300s — partial "
+                "results would masquerade as a correctness mismatch"
+            )
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        if spark.catalog.tableExists(qname):
+            spark.catalog.dropTempView(qname)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, SESSION_SCHEMA).select(
         "user_id", "session_start_ms", "session_end_ms",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round("total_value", 4).alias("total_value"),

@@ -87,13 +87,20 @@ def connected_components(
     ).distinct()
     nodes = und.select(F.col("src").alias("entity_id")).distinct()
     labels = cut_lineage(nodes.withColumn("label", F.col("entity_id")))
-    changed = 0
-    for _ in range(max_iter):
-        msgs = (
-            und.join(labels, und["src"] == labels["entity_id"], "inner")
+
+    def neighbor_min(lbls: DataFrame) -> DataFrame:
+        """One propagation message round: per node, min neighbor label.
+        Shared by the loop and the convergence verifier so they can't
+        drift apart."""
+        return (
+            und.join(lbls, und["src"] == lbls["entity_id"], "inner")
             .groupBy(F.col("dst").alias("entity_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+
+    changed = 0
+    for _ in range(max_iter):
+        msgs = neighbor_min(labels)
         new_labels = cut_lineage(
             labels.join(msgs, "entity_id", "left")
             .select(
@@ -112,9 +119,7 @@ def connected_components(
         # truncation (silent non-convergence corrupts the canonical mapping
         # for chain-shaped alias graphs with diameter > max_iter)
         verify = (
-            und.join(labels, und["src"] == labels["entity_id"], "inner")
-            .groupBy(F.col("dst").alias("entity_id"))
-            .agg(F.min("label").alias("nbr_min"))
+            neighbor_min(labels)
             .join(labels, "entity_id", "inner")
             .filter(F.col("nbr_min") < F.col("label"))
             .limit(1)

@@ -44,10 +44,13 @@ STATE_SCHEMA = StructType([
 GAP_MS = 1_800_000  # 30 min, same rule as the events_sessions batch query
 
 
-def _make_sessionizer(gap_ms: int):
+def _make_sessionizer(gap_ms: int, with_timeout: bool):
     """State function closing over the gap (serialized to executors via
     cloudpickle) — the gap_ms parameter must actually take effect, not the
-    module constant."""
+    module constant.  with_timeout mirrors the timeoutConf: registering a
+    timeout in NoTimeout mode raises, but in timeout mode a registration
+    failure must PROPAGATE (swallowing it silently disables idle-session
+    closing — data loss)."""
 
     def _sessionize_user(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -73,10 +76,8 @@ def _make_sessionizer(gap_ms: int):
                     cur = (cur[0], ts, cur[2] + 1, cur[3] + val)
             if cur is not None:
                 state.update(cur)
-                try:
+                if with_timeout:
                     state.setTimeoutDuration(gap_ms)
-                except Exception:
-                    pass  # NoTimeout mode: timeouts not configured
         if closed:
             yield pd.DataFrame(
                 closed, columns=[f.name for f in SESSION_SCHEMA.fields]
@@ -100,12 +101,13 @@ def sessionize_stream(
         (F.unix_timestamp(F.col("ts").cast("timestamp")) * 1000).alias("ts_ms"),
         F.col("value").cast("double").alias("value"),
     )
+    conf = timeout or GroupStateTimeout.NoTimeout
     return prepped.groupBy("user_id").applyInPandasWithState(
-        _make_sessionizer(gap_ms),
+        _make_sessionizer(gap_ms, with_timeout=conf != GroupStateTimeout.NoTimeout),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=timeout or GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
 
 

@@ -129,7 +129,7 @@ def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish; partial results"
     got = {
         (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"],
          round(r["total_value"], 4))
