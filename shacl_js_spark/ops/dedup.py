@@ -132,16 +132,27 @@ def lsh_candidate_pairs(
     sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
     banded = _banded(sigs, bands, n_hashes)
     if max_bucket is not None:
-        counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
         if log_dropped:
-            n_dropped = counts.filter(F.col("_n") > max_bucket).count()
+            n_dropped = (
+                banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > max_bucket).count()
+            )
             if n_dropped:
                 logging.getLogger(__name__).warning(
                     "lsh_candidate_pairs: dropping %d buckets with > %d members",
                     n_dropped, max_bucket,
                 )
-        keep = counts.filter(F.col("_n") <= max_bucket).select("band", "bucket")
-        banded = banded.join(keep, ["band", "bucket"], "left_semi")
+        # window count over (band,bucket) instead of groupBy + semi-join:
+        # one shuffle, and the downstream bucket self-join reuses the same
+        # hash partitioning (no second exchange of the banded frame)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
     return (
