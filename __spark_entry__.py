@@ -656,6 +656,116 @@ ex:BigCustomer sh:property [ sh:path ex:order ] .
     )
 
 
+def q_dash_rootclass(spark, sf_dir):
+    # validateRootClass (ref shared/dash.js:365-371): each value must be the
+    # root class or reachable from it downward via subClassOf in the data
+    # graph. ex:VIP subClassOf ex:BigCustomer is in the data, so VIP-typed
+    # values pass (closure) while the plain ex:Customer type violates.
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ttl = _DASH_PREFIX + f"""
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path <{rdf_type}> ; dash:rootClass ex:BigCustomer ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_dash_stem(spark, sf_dir):
+    # validateStem (ref shared/dash.js:377-379): value must be an IRI whose
+    # uri starts with the stem string.
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ; dash:stem "http://ex/o/1" ] .
+"""
+    v = _shacl_violations(spark, sf_dir, ttl)
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_dash_nonrecursive(spark, sf_dir):
+    # validateNonRecursiveProperty (ref shared/dash.js:280-289): violation
+    # when a path value IS the focus node. Self-loops planted on
+    # custkey % 7 == 0; everyone else points at custkey + 1.
+    cust = _pq(spark, sf_dir, "customer")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    knows = F.when(F.col("c_custkey") % 7 == 0, F.col("c_custkey")).otherwise(
+        F.col("c_custkey") + 1
+    )
+    k_iri = F.concat(F.lit(EX + "c/"), knows.cast("string"))
+    data = _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer")).unionByName(
+        _iri_triple(cust, c_iri, EX + "knows", k_iri)
+    )
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:knows ; dash:nonRecursive true ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+def q_dash_hasvaluewithclass(spark, sf_dir):
+    # validateHasValueWithClass (ref shared/dash.js:156-161): focus conforms
+    # iff at least one ex:order value is an instance of ex:BigOrder; only
+    # orders with o_totalprice > 350000 are typed BigOrder, so the class
+    # membership join (not mere value existence) decides the verdict.
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    o_cust_iri = F.concat(F.lit(EX + "c/"), F.col("o_custkey").cast("string"))
+    o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey").cast("string"))
+    data = (
+        _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer"))
+        .unionByName(_iri_triple(orders, o_cust_iri, EX + "order", o_iri))
+        .unionByName(_iri_triple(
+            orders.filter(F.col("o_totalprice") > 350000),
+            o_iri, rdf_type, F.lit(EX + "BigOrder"),
+        ))
+    )
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:order ; dash:hasValueWithClass ex:BigOrder ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"))
+
+
+def q_dash_uniquevalueforclass(spark, sf_dir):
+    # validateUniqueValueForClass (ref shared/dash.js:406-424): one violation
+    # row per (focus, value) × other-instance sharing that ex:phone value.
+    # phone = custkey % 100 plants small collision groups, so the self-join
+    # output is bounded (group size ≈ |customer| / 100).
+    cust = _pq(spark, sf_dir, "customer")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+    phone = (F.col("c_custkey") % 100).cast("string")
+    data = _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer")).unionByName(
+        _lit_triple(cust, c_iri, EX + "phone", phone)
+    )
+    ttl = _DASH_PREFIX + """
+ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
+  sh:property [ sh:path ex:phone ; dash:uniqueValueForClass ex:Customer ] .
+"""
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
+
+
+def q_dash_functions(spark, sf_dir):
+    # dash:toString over the dash:AllObjectsTarget / AllSubjectsTarget
+    # analogs (ref shared/dash.js:441-464): whole-graph projections plus the
+    # term-to-lexical scalar, tagged by which side produced the term.
+    from shacl_js_spark.functions import all_objects, all_subjects, dash_to_string
+
+    data = _geo_triples(spark, sf_dir)
+    objs = all_objects(data).select(
+        dash_to_string("focus").alias("str"), F.lit("object").alias("side")
+    )
+    subs = all_subjects(data).select(
+        dash_to_string("focus").alias("str"), F.lit("subject").alias("side")
+    )
+    return objs.unionByName(subs)
+
+
 # --- RDF query operators ----------------------------------------------------
 
 def _geo_triples(spark, sf_dir) -> DataFrame:
@@ -1179,6 +1289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dash_subsetof": q_dash_subsetof,
         "dash_primarykey": q_dash_primarykey,
         "dash_closedbytypes": q_dash_closedbytypes,
+        "dash_rootclass": q_dash_rootclass,
+        "dash_stem": q_dash_stem,
+        "dash_nonrecursive": q_dash_nonrecursive,
+        "dash_hasvaluewithclass": q_dash_hasvaluewithclass,
+        "dash_uniquevalueforclass": q_dash_uniquevalueforclass,
+        "dash_functions": q_dash_functions,
         # RDF query operators (ref src/rdfquery.js)
         "rdf_bgp": q_rdf_bgp,
         "rdf_path_seq": q_rdf_path_seq,
@@ -1688,6 +1804,49 @@ def oracle_sql() -> dict[str, str]:
                    'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS value
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_acctbal <= 5000
+        """,
+        "dash_rootclass": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus,
+                   'http://ex/Customer' AS value
+            FROM customer
+        """,
+        "dash_stem": """
+            SELECT 'http://ex/c/' || CAST(o_custkey AS VARCHAR) AS focus,
+                   'http://ex/o/' || CAST(o_orderkey AS VARCHAR) AS value
+            FROM orders WHERE CAST(o_orderkey AS VARCHAR) NOT LIKE '1%'
+        """,
+        "dash_nonrecursive": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer WHERE c_custkey % 7 = 0
+        """,
+        "dash_hasvaluewithclass": """
+            SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 350000)
+        """,
+        "dash_uniquevalueforclass": """
+            SELECT 'http://ex/c/' || CAST(a.c_custkey AS VARCHAR) AS focus,
+                   CAST(a.c_custkey % 100 AS VARCHAR) AS value
+            FROM customer a JOIN customer b
+              ON a.c_custkey % 100 = b.c_custkey % 100
+             AND a.c_custkey <> b.c_custkey
+        """,
+        "dash_functions": """
+            SELECT str, 'object' AS side FROM (
+                SELECT 'http://ex/n/' || CAST(c_nationkey AS VARCHAR) AS str FROM customer
+                UNION
+                SELECT 'http://ex/r/' || CAST(n_regionkey AS VARCHAR) FROM nation
+                UNION
+                SELECT n_name FROM nation
+            )
+            UNION ALL
+            SELECT str, 'subject' AS side FROM (
+                SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS str FROM customer
+                UNION
+                SELECT 'http://ex/n/' || CAST(n_nationkey AS VARCHAR) FROM nation
+            )
         """,
         "rdf_bgp": """
             SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS customer,
