@@ -1092,6 +1092,16 @@ def q_cur_pack(spark, sf_dir):
     )
 
 
+def q_cur_pack_partitioned(spark, sf_dir):
+    # the scale path (two-level prefix sum, no global-order window) against
+    # the SAME global-cumsum oracle: proves partitioned == global packing
+    from shacl_js_spark.ops.curation import pack_sequences_partitioned
+
+    return pack_sequences_partitioned(
+        _pq(spark, sf_dir, "documents"), budget=512, num_partitions=16
+    ).select("doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
 # --- events (windowed analytics) --------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
@@ -1329,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_repetition": q_cur_repetition,
         "cur_contamination": q_cur_contamination,
         "cur_pack": q_cur_pack,
+        "cur_pack_partitioned": q_cur_pack_partitioned,
         # events
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1469,18 +1480,19 @@ def _ivf_topk_sql(query_vec_id: int, k: int, n_centroids: int = 16, iters: int =
 
 
 def _cur_pii_sql() -> str:
+    # stage-wise like pii_scan: each pattern is counted against the text with
+    # all more-specific patterns already redacted (PII_PATTERNS order)
     from shacl_js_spark.ops.curation import PII_PATTERNS
 
-    counts = ",\n".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat in PII_PATTERNS.items()
-    )
-    any_pii = " OR ".join(
-        f"len(regexp_extract_all(text, '{pat}')) > 0" for pat in PII_PATTERNS.values()
-    )
+    counts = []
     redacted = "text"
     for name, pat in PII_PATTERNS.items():
+        counts.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
         redacted = f"regexp_replace({redacted}, '{pat}', '<{name.upper()}>', 'g')"
+    counts_sql = ",\n".join(counts)
+    any_pii = " OR ".join(f"n_{name} > 0" for name in PII_PATTERNS)
     return f"""
         WITH decorated AS (
           SELECT doc_id,
@@ -1490,9 +1502,13 @@ def _cur_pii_sql() -> str:
                  || CASE WHEN doc_id % 37 = 0 THEN ' id 123-45-6789 ok' ELSE '' END
                  || CASE WHEN doc_id % 41 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up' ELSE '' END
                  AS text
-          FROM documents)
-        SELECT doc_id, {counts}, ({any_pii}) AS any_pii, {redacted} AS text_redacted
-        FROM decorated
+          FROM documents),
+        counted AS (
+          SELECT doc_id, {counts_sql}, {redacted} AS text_redacted
+          FROM decorated)
+        SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn_like,
+               ({any_pii}) AS any_pii, text_redacted
+        FROM counted
     """
 
 
@@ -1622,7 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, surface, entity_id FROM scored WHERE rk = 1
     """
 
-    return {
+    out = {
         "shacl_mincount": """
             SELECT 'http://ex/c/' || CAST(c_custkey AS VARCHAR) AS focus
             FROM customer c
@@ -2175,3 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples_full": _kg_full_sql(),
     }
+    # the partitioned packer must equal the global-cumsum packer exactly —
+    # one oracle, two Spark implementations
+    out["cur_pack_partitioned"] = out["cur_pack"]
+    return out

@@ -11,10 +11,11 @@ pre-training data pipeline runs between dedup and tokenization.
   * contamination_check— broadcast semi-join of corpus 8-gram hashes against
                          the (small) benchmark-set hash list; the benchmark
                          side is eval-suite-sized, never the corpus.
-  * pack_sequences     — one global range-partitioned sort + running sum;
-                         at scale use per-partition packing (bin-first) to
-                         avoid the total order — the deterministic cumsum
-                         variant here is the oracle-checkable twin.
+  * pack_sequences     — oracle twin: one global-order running sum.  The
+                         scale path is pack_sequences_partitioned: identical
+                         output via a two-level prefix sum (per-range-
+                         partition cumsum + broadcast partition offsets), no
+                         single-partition window anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -23,23 +24,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # deliberately simple, portable patterns (no lookbehind; identical in Spark
-# rlike/regexp_* and DuckDB regexp_matches)
+# rlike/regexp_* and DuckDB regexp_matches).  Dict order is SPECIFICITY order:
+# the generic phone pattern also matches SSN-shaped strings, so each pattern
+# is counted and redacted against the text with all MORE specific patterns
+# already replaced — an SSN is labelled <SSN_LIKE>, never <PHONE>, and
+# n_phone does not double-count SSN hits.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
-    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
 }
 
 
 def pii_scan(df: DataFrame) -> DataFrame:
     """Per-document PII hit counts + a redacted text column.
-    (doc_id, n_email, n_phone, n_ipv4, n_ssn_like, any_pii, text_redacted)"""
+    (doc_id, n_email, n_ssn_like, n_ipv4, n_phone, any_pii, text_redacted)
+
+    Counts and redaction proceed in PII_PATTERNS (specificity) order over the
+    progressively redacted text, so overlapping patterns never double-count."""
     out = df.select("doc_id", "text")
     redacted = F.col("text")
     for name, pat in PII_PATTERNS.items():
         out = out.withColumn(
-            f"n_{name}", F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long")
+            f"n_{name}", F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))).cast("long")
         )
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     any_pii = None
@@ -127,13 +135,10 @@ def pack_sequences(df: DataFrame, budget: int = 512) -> DataFrame:
     where pack_id/pack_offset locate the document's FIRST token.
 
     The doc_id total order makes this reproducible at any parallelism and
-    oracle-checkable; a production variant packs per range-partition to
-    avoid the global sort (pack ids then carry the partition prefix)."""
-    toks = F.split(F.col("text"), " ")
-    sized = df.select(
-        "doc_id",
-        F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("n_tokens"),
-    )
+    oracle-checkable.  This single-window form is the oracle twin;
+    pack_sequences_partitioned computes the SAME result with a two-level
+    prefix sum and is the variant to run at corpus scale."""
+    sized = _sized(df)
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     cum = sized.withColumn("cum", F.sum("n_tokens").over(w))
     start = F.col("cum") - F.col("n_tokens")
@@ -142,3 +147,57 @@ def pack_sequences(df: DataFrame, budget: int = 512) -> DataFrame:
         F.floor(start / budget).cast("long").alias("pack_id"),
         (start % budget).cast("long").alias("pack_offset"),
     )
+
+
+def _sized(df: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return df.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != "")).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences_partitioned(
+    df: DataFrame, budget: int = 512, num_partitions: int = 32
+) -> DataFrame:
+    """Scale path for pack_sequences: IDENTICAL output, no global-order
+    window.  Two-level prefix sum — range-partition by doc_id, cumsum within
+    each partition (Window.partitionBy, all partitions in parallel), then add
+    each partition's exclusive prefix total.  The only total order taken is
+    over the `num_partitions` partial sums (driver-side, bounded), never over
+    the rows, so the cumsum no longer serializes through one task at corpus
+    scale.  -> (doc_id, n_tokens, pack_id, pack_offset), equal row-for-row to
+    pack_sequences(df, budget)."""
+    # persist the partitioned frame: spark_partition_id() must be observed by
+    # exactly one materialization so the totals job and the output job see
+    # the same pid assignment (and the range shuffle runs once)
+    parted = (
+        _sized(df)
+        .repartitionByRange(num_partitions, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        totals = parted.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
+        run = 0
+        offsets = []
+        for row in sorted(totals, key=lambda r: r["_pid"]):
+            offsets.append((int(row["_pid"]), run))
+            run += int(row["tot"])
+        off_df = df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "_pid int, _off long"
+        )
+        w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        local = parted.withColumn("cum_local", F.sum("n_tokens").over(w))
+        out = local.join(F.broadcast(off_df), "_pid")
+        start = F.col("_off") + F.col("cum_local") - F.col("n_tokens")
+        return out.select(
+            "doc_id", "n_tokens",
+            F.floor(start / budget).cast("long").alias("pack_id"),
+            (start % budget).cast("long").alias("pack_offset"),
+        )
+    except Exception:
+        parted.unpersist()
+        raise

@@ -215,6 +215,56 @@ def test_curation_ops(spark):
     assert packs[3]["pack_id"] == 1 and packs[3]["pack_offset"] == 7
 
 
+def test_pii_specificity_order(spark):
+    # the generic phone pattern also matches SSN-shaped strings; specificity
+    # ordering must label them <SSN_LIKE> and keep n_phone at zero
+    from shacl_js_spark.ops.curation import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 and ip 10.0.0.7 only")],
+        "doc_id long, text string",
+    )
+    row = pii_scan(df).collect()[0]
+    assert row["n_ssn_like"] == 1 and row["n_ipv4"] == 1
+    assert row["n_phone"] == 0 and row["n_email"] == 0
+    assert "<SSN_LIKE>" in row["text_redacted"] and "<IPV4>" in row["text_redacted"]
+    assert "<PHONE>" not in row["text_redacted"]
+
+
+def test_pack_sequences_partitioned_equals_global(spark):
+    # the two-level prefix-sum packer must reproduce the global-cumsum packer
+    # row-for-row, and its plan must contain no partition-less Window (the
+    # single-task total order the scale path exists to eliminate)
+    import random
+
+    from shacl_js_spark.ops.curation import pack_sequences, pack_sequences_partitioned
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    part = pack_sequences_partitioned(df, budget=64, num_partitions=8)
+
+    plan = part._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # a global-order window renders as windowspecdefinition(doc_id ...
+            # with no partition columns before the ORDER BY spec; the
+            # partitioned variant must always carry _pid partitioning
+            assert "_pid" in line, f"partition-less window in plan: {line}"
+
+    expect = {r["doc_id"]: r for r in pack_sequences(df, budget=64).collect()}
+    got = {r["doc_id"]: r for r in part.collect()}
+    assert len(got) == len(expect) == 500
+    for k, e in expect.items():
+        g = got[k]
+        assert (g["n_tokens"], g["pack_id"], g["pack_offset"]) == (
+            e["n_tokens"], e["pack_id"], e["pack_offset"]
+        ), k
+
+
 def test_shingles_short_docs_no_crash(spark):
     # 1- and 2-token docs previously crashed slice() via a descending
     # sequence(1,0); they now contribute one clamped shingle
