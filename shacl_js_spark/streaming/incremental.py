@@ -11,12 +11,23 @@ set by the batch's reachable frontier, handled by the `extra_hops` knob).
 
 Plumbing: foreachBatch (exactly-once per epoch with checkpointing), graph
 accumulates as parquet (Iceberg append at cluster scale), report maintained
-as per-focus upserts keyed by focus string.
+as per-focus upserts keyed on the bubble (target focus) string.
+
+Report store layout: `report/bucket=K/` with K = pmod(hash(bubble),
+n_buckets) — a batch rewrites ONLY the buckets its re-validated targets hash
+into (staged write + per-bucket directory swap); unaffected buckets' files
+are untouched, so per-batch report I/O is O(affected buckets), not O(full
+report).  A crash mid-swap leaves some buckets old and some new; the
+foreachBatch replay re-runs the same bubble-keyed upsert, which is
+idempotent, so mixed states heal (Iceberg MERGE replaces the swap at cluster
+scale).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,14 +39,19 @@ from ..validation import VIOL_COLS, Engine
 
 class IncrementalValidator:
     def __init__(self, spark: SparkSession, shapes: LocalGraph, work_dir: str,
-                 registry=None, extra_hops: int = 0):
+                 registry=None, extra_hops: int = 0, n_buckets: int = 16):
         self.spark = spark
         self.shapes = shapes
         self.registry = registry
         self.graph_dir = os.path.join(work_dir, "graph")
         self.report_dir = os.path.join(work_dir, "report")
         self.extra_hops = extra_hops
+        self.n_buckets = n_buckets
         os.makedirs(work_dir, exist_ok=True)
+
+    def _bucket(self, col):
+        # Murmur3 with Spark's fixed seed: stable across batches and runs
+        return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
 
     # -- the foreachBatch callback -------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -83,24 +99,65 @@ class IncrementalValidator:
             out = v if out is None else out.unionByName(v)
         if out is None:
             return
-        new_rows = out.withColumn("_batch", F.lit(batch_id)).persist()
+        new_rows = (
+            out.withColumn("_batch", F.lit(batch_id))
+            .withColumn("bucket", self._bucket(F.col("bubble")))
+            .persist()
+        )
+        reval = (
+            revalidated.dropDuplicates(["focus"])
+            .withColumnRenamed("focus", "bubble")
+            .withColumn("bucket", self._bucket(F.col("bubble")))
+            .persist()
+        )
 
-        # upsert: drop every previous row produced by a re-validated target
-        # (keyed on bubble), append the fresh rows for those targets
-        if os.path.isdir(self.report_dir):
-            prev = self.spark.read.parquet(self.report_dir)
-            kept = prev.join(
-                revalidated.dropDuplicates(["focus"]).withColumnRenamed("focus", "bubble"),
-                "bubble", "left_anti",
+        # buckets this batch touches: those of the re-validated targets (rows
+        # to delete) — new rows are a subset (every new row's bubble is a
+        # re-validated target).  Bounded by n_buckets, so collect is safe.
+        affected = sorted(
+            r["bucket"] for r in reval.select("bucket").dropDuplicates().collect()
+        )
+
+        if not affected:  # batch touched no target of any shape
+            new_rows.unpersist()
+            reval.unpersist()
+            return
+
+        # upsert only the affected buckets: read them (partition-pruned),
+        # drop rows keyed by a re-validated bubble, append the fresh rows
+        if os.path.isdir(self.report_dir) and affected:
+            prev = (
+                self.spark.read.option("basePath", self.report_dir)
+                .parquet(*[f"{self.report_dir}/bucket={b}" for b in affected
+                           if os.path.isdir(f"{self.report_dir}/bucket={b}")])
+                if any(os.path.isdir(f"{self.report_dir}/bucket={b}") for b in affected)
+                else None
+            )
+            kept = (
+                prev.join(reval.select("bubble"), "bubble", "left_anti")
+                if prev is not None
+                else None
             )
         else:
             kept = None
-        tmp = self.report_dir + ".tmp"
         merged = new_rows if kept is None else kept.unionByName(new_rows)
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.report_dir)
+
+        # staged write + per-bucket swap: unaffected buckets are never
+        # rewritten (their files stay byte-identical across the batch)
+        staging = f"{self.report_dir}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        os.makedirs(self.report_dir, exist_ok=True)
+        for b in affected:
+            dst = f"{self.report_dir}/bucket={b}"
+            src = f"{staging}/bucket={b}"
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+            # else: every row of this bucket was deleted and none added
+        shutil.rmtree(staging, ignore_errors=True)
         new_rows.unpersist()
+        reval.unpersist()
 
     # -- stream wiring ---------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
@@ -112,11 +169,14 @@ class IncrementalValidator:
         return writer.start()
 
     def report(self) -> DataFrame:
-        if not os.path.isdir(self.report_dir):
+        has_data = os.path.isdir(self.report_dir) and any(
+            e.startswith("bucket=") for e in os.listdir(self.report_dir)
+        )
+        if not has_data:
             from pyspark.sql.types import StringType, StructField, StructType
 
             schema = StructType(
                 [StructField(c, StringType(), True) for c in VIOL_COLS]
             )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.report_dir)
+        return self.spark.read.parquet(self.report_dir).drop("bucket")

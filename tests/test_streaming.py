@@ -75,6 +75,52 @@ ex:p ex:child ex:c2 .
     assert sorted(r2) == ["http://e/c1", "http://e/c2"], r2
 
 
+def test_incremental_bucketed_upsert_leaves_other_buckets_untouched(spark, tmp_path):
+    # the report store is bucket-partitioned by hash(bubble); a batch must
+    # rewrite ONLY the buckets its re-validated targets hash into — every
+    # other bucket's files stay byte-identical across the batch
+    import hashlib
+
+    shapes = LocalGraph.from_turtle(SHAPES)
+    iv = IncrementalValidator(spark, shapes, str(tmp_path / "bkt"), n_buckets=8)
+    # batch 0: many persons without names -> violations spread over buckets
+    ttl0 = "@prefix ex: <http://e/> .\n" + "\n".join(
+        f"ex:p{i} a ex:Person ." for i in range(40)
+    )
+    iv.process_batch(_batch_df(spark, ttl0), 0)
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(iv.report_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, iv.report_dir)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = snapshot()
+    buckets_before = {p.split("/")[0] for p in before}
+    assert len(buckets_before) > 1, "need multiple buckets for the assertion"
+
+    # batch 1 touches a single person -> a single affected bucket
+    iv.process_batch(_batch_df(spark, "@prefix ex: <http://e/> .\nex:p0 ex:name \"late\" ."), 1)
+    after = snapshot()
+
+    from pyspark.sql import functions as F
+    touched = "bucket=%d" % (
+        spark.range(1)
+        .select(F.pmod(F.hash(F.lit("<http://e/p0>")), F.lit(8)).alias("b"))
+        .collect()[0]["b"]
+    )
+    for path, digest in before.items():
+        if path.split("/")[0] != touched:
+            assert after.get(path) == digest, f"unaffected file rewritten: {path}"
+    # and the retraction actually happened
+    assert "http://e/p0" not in {r["focus_v"] for r in iv.report().collect()}
+
+
 def test_incremental_via_stream_source(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
