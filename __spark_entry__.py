@@ -925,8 +925,8 @@ def q_dedup_exact(spark, sf_dir):
     return g.select(
         "dup_key",
         F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.array_min("doc_ids").cast("bigint").alias("min_doc"),
-        F.array_max("doc_ids").cast("bigint").alias("max_doc"),
+        F.col("min_doc").cast("bigint").alias("min_doc"),
+        F.col("max_doc").cast("bigint").alias("max_doc"),
     )
 
 

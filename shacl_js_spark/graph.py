@@ -36,15 +36,38 @@ TRIPLE_SCHEMA = StructType([StructField(n, StringType(), True) for n in TRIPLE_F
 DEFAULT_GRAPH = "urn:x-shacl:dataGraph"  # ref: index.js:26
 
 
+_warned_checkpoint_cleanup = False
+
+
 def cut_lineage(df: DataFrame) -> DataFrame:
     """Truncate lineage inside an iterative fixpoint (zeroOrMore paths,
     connected components).  Uses RELIABLE checkpointing — survives executor
     loss, required for long fixpoints on a real cluster — whenever the
     session has a checkpoint dir configured (sc.setCheckpointDir, typically
     HDFS/object-store); falls back to fast localCheckpoint otherwise
-    (single-host / tests)."""
+    (single-host / tests).
+
+    Storage hygiene: each fixpoint iteration leaves a checkpoint file behind;
+    superseded iterations go out of scope, and Spark's context cleaner
+    deletes their files IF `spark.cleaner.referenceTracking.cleanCheckpoints`
+    is true (a session-start conf — it cannot be set here).  Long fixpoints
+    on a cluster without it exhaust checkpoint storage, so warn once."""
+    global _warned_checkpoint_cleanup
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
+        if not _warned_checkpoint_cleanup:
+            conf = sc.getConf().get("spark.cleaner.referenceTracking.cleanCheckpoints", "false")
+            if conf.lower() != "true":
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "reliable checkpointing is active but "
+                    "spark.cleaner.referenceTracking.cleanCheckpoints is not "
+                    "enabled: superseded fixpoint checkpoints will accumulate "
+                    "in %s — set the conf at session start for long jobs",
+                    sc.getCheckpointDir(),
+                )
+            _warned_checkpoint_cleanup = True
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 

@@ -24,6 +24,8 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..graph import cut_lineage
+
 MINHASH_P = 2147483647  # 2^31 - 1
 N_HASHES = 16
 LSH_BANDS = 8  # rows per band = N_HASHES // LSH_BANDS = 2
@@ -64,15 +66,38 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 # --- exact -----------------------------------------------------------------
 
-def exact_dedup_groups(df: DataFrame, key) -> DataFrame:
-    """Groups of documents sharing a normalization key (md5 hash-groupBy).
-    `key` is a Column producing the normalized text."""
+def _bounded_groups(ids: DataFrame, group_col: str, max_exemplars: int) -> DataFrame:
+    """(group_col, n_docs, min_doc, max_doc, doc_ids) with doc_ids capped at
+    `max_exemplars` members.  A degenerate key (e.g. empty-normalized text)
+    can make one group corpus-sized; a plain collect_list would then build a
+    corpus-sized array in a single task.  The row_number pre-cap bounds the
+    aggregation buffer itself — n_docs/min/max stay exact over ALL members."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("doc_id")
+    capped = ids.withColumn("_rn", F.row_number().over(w))
     return (
-        df.select("doc_id", F.md5(key).alias("dup_key"))
-        .groupBy("dup_key")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        capped.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_exemplars, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
+        )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def exact_dedup_groups(df: DataFrame, key, max_exemplars: int = 100) -> DataFrame:
+    """Groups of documents sharing a normalization key (md5 hash-groupBy).
+    `key` is a Column producing the normalized text.  doc_ids holds at most
+    `max_exemplars` exemplar members; n_docs/min_doc/max_doc are exact."""
+    ids = df.select("doc_id", F.md5(key).alias("dup_key"))
+    return _bounded_groups(ids, "dup_key", max_exemplars)
 
 
 # --- minhash + LSH ----------------------------------------------------------
@@ -116,7 +141,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     n_hashes: int = N_HASHES,
     max_bucket: int | None = MAX_LSH_BUCKET,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Band the signature; docs colliding in any band become candidate pairs
     (a < b, distinct).  The band bucket join is the only shuffle.
@@ -127,40 +152,49 @@ def lsh_candidate_pairs(
     otherwise explodes quadratically at corpus scale.  True near-dups in an
     over-full bucket normally still collide in other, smaller buckets, and
     the downstream exact-jaccard verify filters false positives anyway.
-    Pass max_bucket=None to disable; log_dropped=True runs one extra count
-    action and logs how many buckets were suppressed."""
-    sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
-    banded = _banded(sigs, bands, n_hashes)
-    if max_bucket is not None:
-        if log_dropped:
-            n_dropped = (
-                banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") > max_bucket).count()
-            )
-            if n_dropped:
-                logging.getLogger(__name__).warning(
-                    "lsh_candidate_pairs: dropping %d buckets with > %d members",
-                    n_dropped, max_bucket,
-                )
-        # window count over (band,bucket) instead of groupBy + semi-join:
-        # one shuffle, and the downstream bucket self-join reuses the same
-        # hash partitioning (no second exchange of the banded frame)
-        from pyspark.sql import Window
+    Pass max_bucket=None to disable.  Because the cap changes recall, dropped
+    buckets are LOGGED by default (one extra count action per call over the
+    persisted signatures); pass log_dropped=False to skip it.
 
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
+    The returned pairs frame is materialized eagerly (lineage cut) so the
+    per-band persisted signature frame can be unpersisted before return."""
+    sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
+    try:
+        banded = _banded(sigs, bands, n_hashes)
+        if max_bucket is not None:
+            if log_dropped:
+                n_dropped = (
+                    banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+                    .filter(F.col("_n") > max_bucket).count()
+                )
+                if n_dropped:
+                    logging.getLogger(__name__).warning(
+                        "lsh_candidate_pairs: dropping %d buckets with > %d members"
+                        " (recall in those buckets relies on their other bands)",
+                        n_dropped, max_bucket,
+                    )
+            # window count over (band,bucket) instead of groupBy + semi-join:
+            # one shuffle, and the downstream bucket self-join reuses the same
+            # hash partitioning (no second exchange of the banded frame)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "bucket")
+            banded = (
+                banded.withColumn("_n", F.count("*").over(w))
+                .filter(F.col("_n") <= max_bucket)
+                .drop("_n")
+            )
+        left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
+        right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+        pairs = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
         )
-    left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
-    right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+        return cut_lineage(pairs)
+    finally:
+        sigs.unpersist()
 
 
 def minhash_jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
@@ -205,13 +239,9 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def simhash_dup_groups(df: DataFrame, bits: int = 16) -> DataFrame:
-    return (
-        simhash(df, bits)
-        .groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .filter(F.col("n_docs") > 1)
-    )
+def simhash_dup_groups(df: DataFrame, bits: int = 16, max_exemplars: int = 100) -> DataFrame:
+    """Exact-simhash collision groups; doc_ids capped like exact_dedup_groups."""
+    return _bounded_groups(simhash(df, bits), "simhash", max_exemplars)
 
 
 # --- n-gram jaccard (no LSH; DF-capped shingle self-join) ---------------------

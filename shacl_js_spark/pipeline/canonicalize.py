@@ -60,6 +60,10 @@ def connected_components(
     paying ~2 Spark jobs per propagation round.  Past `driver_threshold`
     edges the distributed min-label fixpoint below takes over (the path a
     10^12-doc corpus with mined sameAs edges would exercise)."""
+    if max_iter < 1:
+        # with no propagation round the function would silently return
+        # identity labels, skipping the non-convergence verifier entirely
+        raise ValueError(f"connected_components requires max_iter >= 1, got {max_iter}")
     n_edges = edges.limit(driver_threshold).count()
     if n_edges < driver_threshold:
         rows = edges.collect()

@@ -124,9 +124,22 @@ def report_triples_df(spark, report_df):
     RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     G = "urn:x-shacl:reportGraph"
 
-    rows = report_df.withColumn(
-        "_rid", F.concat(F.lit("_:r"), F.monotonically_increasing_id().cast("string"))
-    ).persist()
+    # result bnode ids are a CONTENT hash of the identifying fields, so the
+    # report graph is byte-stable across runs/retries/partitionings (a
+    # monotonically_increasing_id here was plan-dependent).  Rows identical
+    # in every identifying field denote the same violation — RDF set
+    # semantics would collapse their triples anyway — so they share one
+    # result node (the reference dedups the sh:result link the same way,
+    # index.js:157-164).
+    _ID_FIELDS = ["focus", "component", "path", "value", "message", "source_shape", "severity"]
+    rid_src = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in _ID_FIELDS]
+    )
+    rows = (
+        report_df.dropDuplicates(_ID_FIELDS)
+        .withColumn("_rid", F.concat(F.lit("_:r"), F.md5(rid_src)))
+        .persist()
+    )
 
     def trip(s_col, p_iri, o_col, o_v, o_kind, o_dt=None, o_lang=None):
         kind_col = F.lit(o_kind) if isinstance(o_kind, str) else o_kind

@@ -124,11 +124,18 @@ def _java_regex_compiles(spark: SparkSession, pattern: str) -> bool:
     accepts constructs Java rejects (dangling '{', some escapes); patterns
     are shapes-graph-sized, so the result is memoized per pattern."""
     if pattern not in _JAVA_REGEX_OK:
-        try:
-            spark._jvm.java.util.regex.Pattern.compile(pattern)
-            _JAVA_REGEX_OK[pattern] = True
-        except Exception:
+        jvm = getattr(spark, "_jvm", None)
+        if jvm is None:
+            # Spark Connect session: no py4j bridge to probe with.  Route to
+            # the Python JS-regex fallback (False) — semantically correct for
+            # every pattern, just slower than rlike; never crash the probe.
             _JAVA_REGEX_OK[pattern] = False
+        else:
+            try:
+                jvm.java.util.regex.Pattern.compile(pattern)
+                _JAVA_REGEX_OK[pattern] = True
+            except Exception:
+                _JAVA_REGEX_OK[pattern] = False
     return _JAVA_REGEX_OK[pattern]
 
 

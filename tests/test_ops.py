@@ -215,6 +215,22 @@ def test_curation_ops(spark):
     assert packs[3]["pack_id"] == 1 and packs[3]["pack_offset"] == 7
 
 
+def test_dedup_groups_bounded_on_degenerate_key(spark):
+    # 5k identical docs -> ONE group; the exemplar list must stay capped
+    # while n_docs / min / max remain exact over all members
+    from shacl_js_spark.ops.dedup import exact_dedup_groups
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit("same text every time").alias("text")
+    )
+    g = exact_dedup_groups(df, F.col("text"), max_exemplars=25).collect()
+    assert len(g) == 1
+    row = g[0]
+    assert row["n_docs"] == 5000
+    assert row["min_doc"] == 0 and row["max_doc"] == 4999
+    assert len(row["doc_ids"]) == 25 and row["doc_ids"] == sorted(row["doc_ids"])
+
+
 def test_pii_specificity_order(spark):
     # the generic phone pattern also matches SSN-shaped strings; specificity
     # ordering must label them <SSN_LIKE> and keep n_phone at zero

@@ -152,6 +152,21 @@ def test_report_sinks(spark):
     assert conforms[0]["o_v"] == "false"
 
 
+def test_report_triples_stable_across_runs(spark):
+    # result ids are content hashes: two independent materializations of the
+    # same report must serialize to the SAME triple set (retry/replay safety)
+    def lines():
+        v = SHACLValidator(spark)
+        v.update_data_graph(DATA_BAD)
+        v.update_shapes_graph(SHAPES)
+        rt = report_triples_df(spark, v.report_df().repartition(5))
+        return sorted((r["s"], r["p"], r["o"]) for r in rt.collect())
+
+    first, second = lines(), lines()
+    assert first == second
+    assert any(s.startswith("_:r") and len(s) > 10 for s, _p, _o in first)
+
+
 def test_jsonld_reverse_rejects_literals(spark):
     import pytest
 
