@@ -1,17 +1,25 @@
-"""Minimal JSON-LD subset parser (driver side).
+"""JSON-LD subset parser (driver side).
 
 Behavioral reference: the reference accepts "application/ld+json" via
 rdflib + the jsonld package (src/rdflib-graph.js:59-70, index.js:175-187).
-This covers the flat/expanded subset sufficient for data documents:
+This covers the subset sufficient for data documents in the wild:
 
-  * @context with simple "prefix": "iri" mappings (term definitions with
-    plain string values)
+  * @context with simple "prefix": "iri" mappings AND expanded term
+    definitions {"@id", "@type" ("@id" or a datatype), "@language",
+    "@container" ("@index" | "@language" | "@list")}
+  * @vocab and a context-level default @language
+  * REMOTE context URLs, resolved OFFLINE through a caller-supplied
+    `contexts` dict (url -> context value) — mirroring the library-registry
+    pattern used for registerJSLibrary (no network I/O ever happens here;
+    an unregistered URL raises).  Context values may nest (a registered URL
+    may itself resolve to a list containing further registered URLs).
   * node objects with @id / @type, nested node objects (blank nodes when no
     @id), arrays, value objects {"@value", "@type"|"@language"}, @graph
   * @list (exploded to rdf:first/rdf:rest chains, same encoding as the
     Turtle collection path, turtle.py _collection) and @reverse
-
-Not covered (raises): remote contexts, @index/@container maps.
+  * @container: @index  — index keys are content-free map keys (dropped),
+    values parsed normally (JSON-LD 1.1 data-indexing)
+  * @container: @language — map keys become language tags on string values
 """
 
 from __future__ import annotations
@@ -26,31 +34,128 @@ class JsonLdError(ValueError):
     pass
 
 
+_ABS_PREFIXES = ("http://", "https://", "urn:")
+
+
 class _Parser:
-    def __init__(self):
+    def __init__(self, contexts: dict | None = None):
         self.triples: list[Triple] = []
-        self.ctx: dict[str, str] = {}
+        #: term -> {"id": str, "type": str|None, "language": str|None,
+        #:          "container": str|None}
+        self.ctx: dict[str, dict] = {}
+        self.vocab: str | None = None
+        self.default_lang: str | None = None
+        self.contexts = contexts or {}
         self._bn = 0
 
+    # ---- context processing -------------------------------------------
+    def apply_context(self, ctx_value, _depth: int = 0) -> None:
+        if _depth > 8:
+            raise JsonLdError("remote context nesting too deep (cycle?)")
+        if ctx_value is None:
+            return
+        if isinstance(ctx_value, str):
+            if ctx_value not in self.contexts:
+                raise JsonLdError(
+                    f"remote context {ctx_value!r} is not registered; pass it "
+                    "via parse_jsonld(contexts={url: context_dict}) — remote "
+                    "fetching is intentionally offline"
+                )
+            self.apply_context(self.contexts[ctx_value], _depth + 1)
+            return
+        if isinstance(ctx_value, list):
+            for item in ctx_value:
+                self.apply_context(item, _depth)
+            return
+        if not isinstance(ctx_value, dict):
+            raise JsonLdError(f"invalid @context entry: {ctx_value!r}")
+        for k, v in ctx_value.items():
+            if k == "@vocab":
+                self.vocab = v
+            elif k == "@language":
+                self.default_lang = v
+            elif k == "@base":
+                continue  # relative-IRI resolution is out of subset scope
+            elif v is None:
+                self.ctx.pop(k, None)
+            elif isinstance(v, str):
+                self.ctx[k] = {"id": v, "type": None, "language": None, "container": None}
+            elif isinstance(v, dict):
+                if "@id" not in v:
+                    raise JsonLdError(f"term definition for {k!r} lacks @id")
+                cont = v.get("@container")
+                if isinstance(cont, list):  # 1.1 allows sets like ["@index","@set"]
+                    cont = next((c for c in cont if c in ("@index", "@language", "@list")), None)
+                if cont not in (None, "@index", "@language", "@list", "@set"):
+                    raise JsonLdError(f"unsupported @container {cont!r} for {k!r}")
+                self.ctx[k] = {
+                    "id": v["@id"],
+                    "type": v.get("@type"),
+                    "language": v.get("@language"),
+                    "container": None if cont == "@set" else cont,
+                }
+            else:
+                raise JsonLdError(f"invalid term definition for {k!r}: {v!r}")
+
+    def prefix_map(self) -> dict[str, str]:
+        return {k: self._expand(d["id"]) for k, d in self.ctx.items()}
+
+    # ---- node/value parsing --------------------------------------------
     def _fresh(self) -> Term:
         self._bn += 1
         return bnode(f"_:jb{self._bn}")
 
-    def _expand(self, key: str) -> str:
-        if key.startswith(("http://", "https://", "urn:")):
+    def _expand(self, key: str, _depth: int = 0) -> str:
+        if _depth > 8 or key.startswith(_ABS_PREFIXES):
             return key
         if ":" in key:
             pfx, _, local = key.partition(":")
             if pfx in self.ctx:
-                return self.ctx[pfx] + local
+                return self._expand(self.ctx[pfx]["id"], _depth + 1) + local
         if key in self.ctx:
-            return self.ctx[key]
+            return self._expand(self.ctx[key]["id"], _depth + 1)
+        if self.vocab and not key.startswith("@"):
+            return self.vocab + key
         return key
 
     def _node_term(self, ref: str) -> Term:
         return bnode(ref) if ref.startswith("_:") else iri(self._expand(ref))
 
+    def _property_values(self, key: str, value) -> list:
+        """Normalize a property's JSON value per its term @container."""
+        td = self.ctx.get(key)
+        container = td["container"] if td else None
+        if container == "@index":
+            if not isinstance(value, dict):
+                raise JsonLdError(f"@index container for {key!r} requires a map")
+            return [
+                x
+                for sub in value.values()
+                for x in (sub if isinstance(sub, list) else [sub])
+            ]
+        if container == "@language":
+            if not isinstance(value, dict):
+                raise JsonLdError(f"@language container for {key!r} requires a map")
+            out = []
+            for lang, sub in value.items():
+                for s in sub if isinstance(sub, list) else [sub]:
+                    if not isinstance(s, str):
+                        raise JsonLdError(
+                            f"@language map values for {key!r} must be strings"
+                        )
+                    out.append({"@value": s, "@language": lang})
+            return out
+        if container == "@list":
+            if isinstance(value, dict) and "@list" in value:
+                return [value]
+            return [{"@list": value if isinstance(value, list) else [value]}]
+        return value if isinstance(value, list) else [value]
+
     def parse_node(self, obj: dict) -> Term:
+        local_ctx = "@context" in obj
+        if local_ctx:
+            saved = (dict(self.ctx), self.vocab, self.default_lang)
+            self.apply_context(obj["@context"])
         subj = self._node_term(obj["@id"]) if "@id" in obj else self._fresh()
         for key, value in obj.items():
             if key in ("@id", "@context"):
@@ -78,8 +183,11 @@ class _Parser:
             if key.startswith("@"):
                 raise JsonLdError(f"unsupported JSON-LD keyword {key}")
             pred = iri(self._expand(key))
-            for v in value if isinstance(value, list) else [value]:
-                self.triples.append((subj, pred, self.parse_value(v)))
+            td = self.ctx.get(key)
+            for v in self._property_values(key, value):
+                self.triples.append((subj, pred, self.parse_value(v, td)))
+        if local_ctx:
+            self.ctx, self.vocab, self.default_lang = saved
         return subj
 
     def _list(self, items: list) -> Term:
@@ -98,7 +206,7 @@ class _Parser:
                 self.triples.append((cur, iri(RDF_REST), iri(RDF_NIL)))
         return head
 
-    def parse_value(self, v) -> Term:
+    def parse_value(self, v, td: dict | None = None) -> Term:
         if isinstance(v, dict):
             if "@list" in v:
                 if not isinstance(v["@list"], list):
@@ -110,32 +218,49 @@ class _Parser:
                     return literal(str(val), lang=v["@language"])
                 if "@type" in v:
                     return literal(str(val), self._expand(v["@type"]))
-                return self._scalar(val)
+                # explicit value objects opt out of term/default language
+                return self._scalar(val, lang=None)
             return self.parse_node(v)
-        return self._scalar(v)
+        # term-scoped coercion: "@type": "@id" makes strings node refs;
+        # a datatype @type makes them typed literals; @language tags them
+        if isinstance(v, str):
+            t = td.get("type") if td else None
+            if t == "@id":
+                return self._node_term(v)
+            if t:
+                return literal(v, self._expand(t))
+            lang = (td.get("language") if td else None) or self.default_lang
+            return self._scalar(v, lang=lang)
+        return self._scalar(v, lang=None)
 
-    def _scalar(self, val) -> Term:
+    def _scalar(self, val, lang: str | None = None) -> Term:
         if isinstance(val, bool):
             return literal("true" if val else "false", XSD_BOOLEAN)
         if isinstance(val, int):
             return literal(str(val), XSD_INTEGER)
         if isinstance(val, float):
             return literal(repr(val), XSD_DOUBLE)
+        if isinstance(val, str) and lang:
+            return literal(val, lang=lang)
         return literal(str(val))
 
 
-def parse_jsonld(text: str) -> tuple[list[Triple], dict[str, str]]:
+def parse_jsonld(
+    text: str, contexts: dict | None = None
+) -> tuple[list[Triple], dict[str, str]]:
+    """Parse a JSON-LD document to triples + a prefix map.
+
+    `contexts` registers remote-context URLs offline: {url: context-value},
+    where a context value is whatever could appear inside "@context"
+    (a dict of term definitions, a list, or another registered URL)."""
     doc = json.loads(text)
-    p = _Parser()
+    p = _Parser(contexts)
     items = doc if isinstance(doc, list) else [doc]
     for item in items:
-        ctx = item.get("@context", {}) if isinstance(item, dict) else {}
-        if isinstance(ctx, dict):
-            for k, v in ctx.items():
-                if isinstance(v, str):
-                    p.ctx[k] = v
+        if isinstance(item, dict) and "@context" in item:
+            p.apply_context(item["@context"])
         nodes = item.get("@graph", [item]) if isinstance(item, dict) else []
         for n in nodes:
             if isinstance(n, dict):
                 p.parse_node(n)
-    return p.triples, dict(p.ctx)
+    return p.triples, p.prefix_map()

@@ -33,11 +33,11 @@ SHAPES_GRAPH_URI = "urn:x-shacl:shapesGraph"  # ref: index.js:25
 DATA_GRAPH_URI = "urn:x-shacl:dataGraph"      # ref: index.js:26
 
 
-def _parse(text: str, media_type: str):
+def _parse(text: str, media_type: str, jsonld_contexts: dict | None = None):
     if media_type in ("text/turtle", "text/n3", None):
         return parse_turtle(text)
     if media_type == "application/ld+json":
-        return parse_jsonld(text)
+        return parse_jsonld(text, contexts=jsonld_contexts)
     raise ValueError(f"unsupported media type {media_type!r}")
 
 
@@ -49,6 +49,7 @@ class SHACLValidator:
         self._shapes: LocalGraph | None = None
         self._engine: Engine | None = None
         self._error_batch = -1  # ref: validation-engine-configuration.js (-1 = all)
+        self._jsonld_contexts: dict = {}
 
     # --- configuration (ref: index.js getConfiguration) ---
     def set_validation_error_batch(self, n: int) -> None:
@@ -60,12 +61,19 @@ class SHACLValidator:
         self.registry.register(key, fn, kind)
         self._engine = None
 
+    def register_jsonld_context(self, url: str, context) -> None:
+        """Pre-register a remote JSON-LD context for offline resolution —
+        the same pattern as register_validator replacing the reference's
+        network fetch of JS libraries (shapes-graph.js:440-469): callers
+        supply the remote resource up front, the engine never fetches."""
+        self._jsonld_contexts[url] = context
+
     # --- graph updates (ref: updateDataGraph/updateShapesGraph, index.js:235-269) ---
     def update_data_graph(self, data, media_type: str = "text/turtle") -> None:
         if isinstance(data, DataFrame):
             self._data_df = data
         else:
-            trips, _ = _parse(data, media_type)
+            trips, _ = _parse(data, media_type, self._jsonld_contexts)
             self._data_df = triples_df(self.spark, trips, DATA_GRAPH_URI)
         self._engine = None
 
@@ -73,7 +81,7 @@ class SHACLValidator:
         if isinstance(shapes, LocalGraph):
             self._shapes = shapes
         else:
-            trips, prefixes = _parse(shapes, media_type)
+            trips, prefixes = _parse(shapes, media_type, self._jsonld_contexts)
             self._shapes = LocalGraph(trips, prefixes)
         self._engine = None
 

@@ -167,6 +167,81 @@ def test_report_triples_stable_across_runs(spark):
     assert any(s.startswith("_:r") and len(s) > 10 for s, _p, _o in first)
 
 
+INDEX_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Book ;
+  sh:property [ sh:path ex:label ; sh:uniqueLang true ] ;
+  sh:property [ sh:path ex:author ; sh:nodeKind sh:IRI ] ;
+  sh:property [ sh:path ex:stock ; sh:minCount 2 ] .
+"""
+
+INDEX_TTL = """
+@prefix ex: <http://e/> .
+ex:b1 a ex:Book ; ex:author ex:alice ;
+  ex:label "Dune"@en, "Dune"@de ;
+  ex:stock ex:w1, ex:w2 .
+ex:b2 a ex:Book ; ex:author "not-an-iri" ;
+  ex:label "Other"@en, "Misc"@en ;
+  ex:stock ex:w1 .
+"""
+
+# same content expressed with a REMOTE context (@index container for stock,
+# @language map for label, @type:@id coercion for author)
+INDEX_JSONLD = """
+{
+  "@context": "https://schema.example/ctx.jsonld",
+  "@graph": [
+    {"@id": "ex:b1", "@type": "Book", "author": "ex:alice",
+     "label": {"en": "Dune", "de": "Dune"},
+     "stock": {"warehouseA": "ex:w1", "warehouseB": "ex:w2"}},
+    {"@id": "ex:b2", "@type": "Book",
+     "author": {"@value": "not-an-iri"},
+     "label": {"en": ["Other", "Misc"]},
+     "stock": {"warehouseA": "ex:w1"}}
+  ]
+}
+"""
+
+REMOTE_CTX = {
+    "@vocab": "http://e/",
+    "ex": "http://e/",
+    "author": {"@id": "ex:author", "@type": "@id"},
+    "label": {"@id": "ex:label", "@container": "@language"},
+    "stock": {"@id": "ex:stock", "@type": "@id", "@container": "@index"},
+}
+
+
+def test_jsonld_index_language_remote_context_matches_turtle_twin(spark):
+    # a document using @container:@index, a @language map, @type:@id coercion
+    # and a registered remote context must validate identically to its
+    # Turtle twin: b2 violates uniqueLang (two "en" labels), nodeKind
+    # (literal author) and minCount (one stock value); b1 conforms
+    got_ttl = SHACLValidator(spark).validate(INDEX_TTL, "text/turtle", INDEX_SHAPES)
+    v = SHACLValidator(spark)
+    v.register_jsonld_context("https://schema.example/ctx.jsonld", REMOTE_CTX)
+    got_ld = v.validate(INDEX_JSONLD, "application/ld+json", INDEX_SHAPES)
+
+    def sig(report):
+        return sorted(
+            (r.focusNode(), r.sourceConstraintComponent()) for r in report.results()
+        )
+
+    assert sig(got_ttl) == sig(got_ld)
+    assert {f for f, _c in sig(got_ld)} == {"http://e/b2"}
+    assert len(sig(got_ld)) == 3
+
+
+def test_jsonld_unregistered_remote_context_raises(spark):
+    from shacl_js_spark.jsonld import JsonLdError, parse_jsonld
+
+    import pytest
+
+    doc = '{"@context": "https://nope.example/ctx", "@id": "http://e/x"}'
+    with pytest.raises(JsonLdError, match="not registered"):
+        parse_jsonld(doc)
+
+
 def test_jsonld_reverse_rejects_literals(spark):
     import pytest
 
