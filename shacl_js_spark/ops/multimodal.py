@@ -2,14 +2,17 @@
 typed metadata; decode / feature-extract / resize / frame-sample as Arrow-
 batched mapInPandas stages.
 
-Decode status:
-  * image — REAL: payloads are actual P6 PPM files; decode_image parses the
-    header + RGB plane with numpy (no external codec needed).
-  * audio — REAL: payloads are actual RIFF/WAVE PCM16 files; decode_audio
-    parses them with the stdlib `wave` module.
-  * video — STUB: no container/codec parseable without external libs;
-    _decode_fake produces a deterministic pseudo-signal and a real decoder
-    (pyav frame sampling) raises NotImplementedError at the marked point.
+Decode status — all three are REAL codecs now:
+  * image — actual P6 PPM files; decode_image parses the header + RGB plane
+    with numpy (no external codec needed).
+  * audio — actual RIFF/WAVE PCM16 files; decode_audio parses them with the
+    stdlib `wave` module.
+  * video — actual YUV4MPEG2 (.y4m) streams, the standard uncompressed video
+    interchange container (mplayer/ffmpeg): a plain-text stream header
+    `YUV4MPEG2 W.. H.. F<fps>:1 .. C444` followed by `FRAME`-delimited raw
+    4:4:4 planes.  decode_video parses header + frames with numpy;
+    decode_video_frame seeks one frame by timestamp (compressed codecs —
+    H.264 etc. — would swap in pyav behind the same signatures).
 
 The plan shape (mapInPandas over binary columns, metadata pushdown, per-batch
 vectorization) is identical for all three — swapping in PIL/pyav is a
@@ -108,6 +111,72 @@ def decode_audio(payload: bytes) -> np.ndarray:
     return np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
 
 
+VIDEO_FPS = 25
+
+
+def encode_y4m(
+    seed: str, width: int, height: int, duration_ms: int, fps: int = VIDEO_FPS
+) -> bytes:
+    """A real YUV4MPEG2 stream (C444: full-res Y, U, V planes per frame)
+    with deterministic content; ≥1 frame regardless of duration."""
+    n_frames = max(1, duration_ms * fps // 1000)
+    head = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()
+    frames = b"".join(
+        b"FRAME\n" + _det_bytes(f"{seed}#f{i}", width * height * 3)
+        for i in range(n_frames)
+    )
+    return head + frames
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int]:
+    """-> (width, height, fps, header_end) from a YUV4MPEG2 stream header."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    end = payload.index(b"\n")
+    w = h = fps = None
+    for tok in payload[:end].split(b" ")[1:]:
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"F"):
+            fps = int(tok[1:].split(b":")[0])
+        elif tok.startswith(b"C") and tok != b"C444":
+            raise ValueError(f"unsupported chroma subsampling {tok!r} (C444 only)")
+    if w is None or h is None or fps is None:
+        raise ValueError("YUV4MPEG2 header missing W/H/F")
+    return w, h, fps, end + 1
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """REAL y4m parse -> float32 (n_frames, h, w, 3)."""
+    w, h, _fps, pos = _y4m_header(payload)
+    frame_bytes = w * h * 3
+    frames = []
+    marker = b"FRAME"
+    while pos < len(payload):
+        if payload[pos : pos + len(marker)] != marker:
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = payload.index(b"\n", pos) + 1  # FRAME lines may carry params
+        raw = np.frombuffer(payload[pos : pos + frame_bytes], dtype=np.uint8)
+        frames.append(raw.astype(np.float32).reshape(3, h, w).transpose(1, 2, 0))
+        pos += frame_bytes
+    return np.stack(frames)
+
+
+def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+    """Seek ONE frame by timestamp -> float32 (h, w, 3); clamps to the last
+    frame (real pipelines sample sparse timestamps, never the whole clip)."""
+    w, h, fps, pos = _y4m_header(payload)
+    frame_bytes = w * h * 3
+    stride = len(b"FRAME\n") + frame_bytes
+    n_frames = (len(payload) - pos) // stride
+    idx = min(ts_ms * fps // 1000, n_frames - 1)
+    start = pos + idx * stride + len(b"FRAME\n")
+    raw = np.frombuffer(payload[start : start + frame_bytes], dtype=np.uint8)
+    return raw.astype(np.float32).reshape(3, h, w).transpose(1, 2, 0)
+
+
 def synth_media_table(docs_spans: DataFrame) -> DataFrame:
     """Build the binary media table from the interleaved documents' media
     spans.  Image/audio payloads are REAL encoded files (PPM / WAV) built in
@@ -141,21 +210,12 @@ def synth_media_table(docs_spans: DataFrame) -> DataFrame:
                     payloads.append(encode_ppm(ref, int(w), int(hh)))
                 elif kind == "audio":
                     payloads.append(encode_wav(ref, int(ms)))
-                else:  # video: opaque container bytes (no stdlib codec)
-                    payloads.append(_det_bytes(ref, 256))
+                else:  # video: a real YUV4MPEG2 stream
+                    payloads.append(encode_y4m(ref, int(w), int(hh), int(ms)))
             pdf = pdf.assign(payload=payloads)
             yield pdf[["media_ref", "kind", "payload", "width", "height", "duration_ms"]]
 
     return meta.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
-
-
-def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decode for video only: deterministic pseudo-signal from the
-    payload bytes.  A real implementation samples frames via pyav — raise
-    NotImplementedError here when wiring that in."""
-    if kind != "video":
-        raise NotImplementedError(f"_decode_fake is video-only, got {kind!r}")
-    return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
 
 
 def decode(payload: bytes, kind: str) -> np.ndarray:
@@ -164,7 +224,7 @@ def decode(payload: bytes, kind: str) -> np.ndarray:
     if kind == "audio":
         return decode_audio(payload)
     if kind == "video":
-        return _decode_fake(payload, kind)
+        return decode_video(payload).ravel()
     raise NotImplementedError(f"decode for kind={kind!r} not implemented")
 
 
@@ -194,8 +254,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling plumbing: expand each video into frame timestamps
-    (decode itself stubbed).  Pure Column ops — the expansion is map-side."""
+    """Video frame-sampling timestamps: expand each video into the instants
+    to sample.  Pure Column ops — the expansion is map-side."""
     return (
         media.filter(F.col("kind") == "video")
         .select(
@@ -205,3 +265,47 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("frame_mean", FloatType()),  # pooled stat of the frame
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: timestamps from frame_sample_plan joined back to
+    the payloads, then one y4m frame seek per timestamp in an Arrow-batched
+    mapInPandas stage (per-frame seek, never whole-clip decode).  At corpus
+    scale the join is by media_ref — payload rows are co-partitioned with
+    their (few) timestamps, so the decode stage stays map-heavy."""
+    plan = frame_sample_plan(media, every_ms)
+    joined = plan.join(
+        media.filter(F.col("kind") == "video").select("media_ref", "payload"),
+        "media_ref",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs, ws, means = [], [], []
+            for payload, ts in zip(pdf["payload"], pdf["frame_ts_ms"]):
+                frame = decode_video_frame(bytes(payload), int(ts))
+                hs.append(frame.shape[0])
+                ws.append(frame.shape[1])
+                means.append(float(np.round(frame.mean(), 4)))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "frame_ts_ms": pdf["frame_ts_ms"].astype("int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float32"),
+                }
+            )
+
+    return joined.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -150,6 +150,21 @@ def test_media_codecs_roundtrip():
     # determinism: same ref -> identical bytes
     assert encode_ppm("m", 4, 4) == encode_ppm("m", 4, 4)
 
+    # REAL video: YUV4MPEG2 round-trip + per-timestamp frame seek
+    from shacl_js_spark.ops.multimodal import (
+        decode_video, decode_video_frame, encode_y4m,
+    )
+
+    vid = encode_y4m("media://x/3", width=8, height=6, duration_ms=120, fps=25)
+    assert vid.startswith(b"YUV4MPEG2 W8 H6 F25:1")
+    clip = decode_video(vid)
+    assert clip.shape == (3, 6, 8, 3)  # 120ms @ 25fps -> 3 frames
+    f0 = decode_video_frame(vid, 0)
+    f_last = decode_video_frame(vid, 10_000)  # clamps to final frame
+    assert f0.shape == (6, 8, 3)
+    assert np.array_equal(f0, clip[0]) and np.array_equal(f_last, clip[-1])
+    assert not np.array_equal(clip[0], clip[1])  # frames differ
+
 
 def test_multimodal_plumbing(spark):
     from shacl_js_spark.ops.multimodal import (
@@ -175,6 +190,14 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=5000)
     if media.filter(F.col("kind") == "video").count() > 0:
         assert frames.count() > 0
+        # real decode path: sampled frames carry the clip's true geometry
+        from shacl_js_spark.ops.multimodal import sample_frames
+
+        sampled = {r["media_ref"]: r for r in sample_frames(media, every_ms=50).collect()}
+        vids = {r["media_ref"]: r for r in rows_media if r["kind"] == "video"}
+        assert set(sampled) == set(vids)
+        for ref, fr in sampled.items():
+            assert (fr["height"], fr["width"]) == (vids[ref]["height"], vids[ref]["width"])
 
 
 def test_curation_ops(spark):
