@@ -159,13 +159,24 @@ def lsh_candidate_pairs(
     The returned pairs frame is materialized eagerly (lineage cut) so the
     per-band persisted signature frame can be unpersisted before return."""
     sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
+    counted = None
     try:
         banded = _banded(sigs, bands, n_hashes)
         if max_bucket is not None:
+            # window count over (band,bucket) instead of groupBy + semi-join:
+            # one shuffle, and the downstream bucket self-join reuses the same
+            # hash partitioning (no second exchange of the banded frame)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "bucket")
+            counted = banded.withColumn("_n", F.count("*").over(w))
             if log_dropped:
+                # cache the post-window frame so the observability action and
+                # the pairs join share one shuffle+sort instead of two passes
+                counted = counted.persist()
                 n_dropped = (
-                    banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
-                    .filter(F.col("_n") > max_bucket).count()
+                    counted.filter(F.col("_n") > max_bucket)
+                    .select("band", "bucket").distinct().count()
                 )
                 if n_dropped:
                     logging.getLogger(__name__).warning(
@@ -173,17 +184,7 @@ def lsh_candidate_pairs(
                         " (recall in those buckets relies on their other bands)",
                         n_dropped, max_bucket,
                     )
-            # window count over (band,bucket) instead of groupBy + semi-join:
-            # one shuffle, and the downstream bucket self-join reuses the same
-            # hash partitioning (no second exchange of the banded frame)
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("band", "bucket")
-            banded = (
-                banded.withColumn("_n", F.count("*").over(w))
-                .filter(F.col("_n") <= max_bucket)
-                .drop("_n")
-            )
+            banded = counted.filter(F.col("_n") <= max_bucket).drop("_n")
         left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
         right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
         pairs = (
@@ -195,6 +196,8 @@ def lsh_candidate_pairs(
         return cut_lineage(pairs)
     finally:
         sigs.unpersist()
+        if counted is not None:
+            counted.unpersist()
 
 
 def minhash_jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:

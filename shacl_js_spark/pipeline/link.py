@@ -9,11 +9,15 @@ where doc_affinity is a stable hash-derived value in [0,1) — a deterministic
 stand-in for a context-similarity model that still exercises the real
 plumbing (broadcast candidate fan-out, per-mention argmax window).
 
-Argmax per mention via max(struct(score, entity_id)) aggregation — a single
-hash aggregation with map-side partial combine (no per-mention window sort;
-at 10^12 docs a row_number window over billions of 2-row partitions is pure
-shuffle+sort overhead).  Ties resolve to the larger entity_id —
-deterministic at any parallelism.
+Argmax per mention via array_max over the per-surface candidate array — the
+candidate dictionary is broadcast GROUPED by surface (surface -> [(entity,
+prior)]), so scoring + argmax run entirely MAP-SIDE inside the broadcast
+join's project: zero shuffle in the whole stage.  (The previous shape —
+row-per-candidate fan-out + max(struct) hash aggregation — shuffled the
+corpus-sized scored frame once; at 10^12 docs that exchange dominates the
+stage.)  array_max on struct(score, entity_id) compares score first, then
+entity_id, so ties resolve to the larger entity_id — deterministic at any
+parallelism, and identical to the old aggregation's semantics.
 """
 
 from __future__ import annotations
@@ -34,16 +38,23 @@ def doc_affinity(doc_col, ent_col):
 
 def link_entities(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     """-> links(doc_id, span_idx, token_idx, surface, offset, entity_id, score)."""
-    cands = lexicon_df(spark)
-    scored = mentions.join(F.broadcast(cands), "surface", "inner").withColumn(
-        "score",
-        F.col("prior") + 0.2 * doc_affinity(F.col("doc_id"), F.col("entity_id")),
+    cands = lexicon_df(spark).groupBy("surface").agg(
+        F.collect_list(F.struct("entity_id", "prior")).alias("_cands")
     )
-    best = scored.groupBy("doc_id", "span_idx", "token_idx", "surface", "offset").agg(
-        F.max(F.struct(F.col("score"), F.col("entity_id"))).alias("_best")
+    joined = mentions.join(F.broadcast(cands), "surface", "inner")
+    best = F.array_max(
+        F.transform(
+            F.col("_cands"),
+            lambda c: F.struct(
+                (c["prior"] + 0.2 * doc_affinity(F.col("doc_id"), c["entity_id"])).alias(
+                    "score"
+                ),
+                c["entity_id"].alias("entity_id"),
+            ),
+        )
     )
-    return best.select(
+    return joined.select(
         "doc_id", "span_idx", "token_idx", "surface", "offset",
-        F.col("_best.entity_id").alias("entity_id"),
-        F.col("_best.score").alias("score"),
+        best["entity_id"].alias("entity_id"),
+        best["score"].alias("score"),
     )
