@@ -1,0 +1,20 @@
+# Round-end verification: the full driver-gate replica + the bench, with
+# logs committed under BENCH/.  Run before every round-end commit so the
+# shipped artifacts always carry a fresh full-set run (the external driver
+# samples a subset; these logs are the full-coverage backstop evidence).
+
+SF_DIR ?= /root/testdata/sf0.01
+ROUND  ?= r03
+
+.PHONY: gate bench verify test
+
+gate:
+	python scripts/check_oracle.py $(SF_DIR) 2>&1 | grep -v -E "WARN|FutureWarning|serializers.py" | tee BENCH/full_gate_$(ROUND).log
+
+bench:
+	python bench.py 2>&1 | tail -1 | tee BENCH/bench_$(ROUND).json
+
+test:
+	python -m pytest tests/ -x -q
+
+verify: gate bench
