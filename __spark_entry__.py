@@ -89,36 +89,82 @@ def _lit_triple(df, s_col, p_iri, o_col, dt="http://www.w3.org/2001/XMLSchema#st
     )
 
 
+def _triple_struct(s_col, p_iri, o, o_v, o_kind, o_dt, cond=None):
+    st = F.struct(
+        F.concat(F.lit("<"), s_col, F.lit(">")).alias("s"),
+        F.lit(f"<{p_iri}>").alias("p"),
+        o.alias("o"),
+        o_v.alias("o_v"),
+        F.lit(o_kind).alias("o_kind"),
+        F.lit(o_dt).cast("string").alias("o_dt"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.lit("g").alias("g"),
+    )
+    return st if cond is None else F.when(cond, st)
+
+
+def _iri_struct(s_col, p_iri, o_col, cond=None):
+    return _triple_struct(
+        s_col, p_iri, F.concat(F.lit("<"), o_col, F.lit(">")), o_col, "iri", None, cond
+    )
+
+
+def _lit_struct(s_col, p_iri, o_col, cond=None):
+    return _triple_struct(
+        s_col, p_iri, F.concat(F.lit('"'), o_col, F.lit('"')), o_col, "literal",
+        "http://www.w3.org/2001/XMLSchema#string", cond,
+    )
+
+
+def _inline_triples(df, structs) -> DataFrame:
+    """One scan, all triple patterns: explode an array of (possibly
+    conditional) triple structs, dropping the null (condition-false) slots."""
+    return df.select(
+        F.inline(F.filter(F.array(*structs), lambda x: x.isNotNull()))
+    ).select(*TRIPLE_FIELDS)
+
+
 def _customer_triples(spark, sf_dir) -> DataFrame:
     """Shared tpch->RDF mapping used by the SHACL queries."""
-    cust = _pq(spark, sf_dir, "customer")
-    orders = _pq(spark, sf_dir, "orders")
+    # the driver parquet files are single-row-group (one scan split); spread
+    # the triple build + downstream engine joins across the cluster
+    par = spark.sparkContext.defaultParallelism
+    cust = _pq(spark, sf_dir, "customer").repartition(par)
+    orders = _pq(spark, sf_dir, "orders").repartition(par)
     c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
     o_cust_iri = F.concat(F.lit(EX + "c/"), F.col("o_custkey").cast("string"))
     o_iri = F.concat(F.lit(EX + "o/"), F.col("o_orderkey").cast("string"))
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-    parts = [
-        _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer")),
-        _lit_triple(cust, c_iri, EX + "name", F.col("c_name")),
-        _lit_triple(cust, c_iri, EX + "segment", F.col("c_mktsegment")),
-        _iri_triple(orders, o_cust_iri, EX + "order", o_iri),
-        # class hierarchy exercised by shacl_class: VIP ⊂ BigCustomer
-        _iri_triple(
-            cust.filter((F.col("c_acctbal") > 5000) & (F.col("c_acctbal") <= 9000)),
-            c_iri, rdf_type, F.lit(EX + "BigCustomer"),
-        ),
-        _iri_triple(cust.filter(F.col("c_acctbal") > 9000), c_iri, rdf_type, F.lit(EX + "VIP")),
-        _iri_triple(orders, o_iri, EX + "cust", o_cust_iri),
-        _iri_triple(orders, o_iri, rdf_type, F.lit(EX + "Order")),
-    ]
-    hier = spark.createDataFrame([(EX + "VIP", EX + "BigCustomer")], "a string, b string")
-    parts.append(
-        _iri_triple(hier, F.col("a"), "http://www.w3.org/2000/01/rdf-schema#subClassOf", F.col("b"))
+    # one scan per source table (inline-exploded triple structs), not one
+    # scan per triple pattern: 8 union branches = 8 parquet scans + 8 codegen
+    # stages; this emits all patterns of a table in a single projection
+    cust_triples = _inline_triples(
+        cust,
+        [
+            _iri_struct(c_iri, rdf_type, F.lit(EX + "Customer")),
+            _lit_struct(c_iri, EX + "name", F.col("c_name")),
+            _lit_struct(c_iri, EX + "segment", F.col("c_mktsegment")),
+            # class hierarchy exercised by shacl_class: VIP ⊂ BigCustomer
+            _iri_struct(
+                c_iri, rdf_type, F.lit(EX + "BigCustomer"),
+                cond=(F.col("c_acctbal") > 5000) & (F.col("c_acctbal") <= 9000),
+            ),
+            _iri_struct(c_iri, rdf_type, F.lit(EX + "VIP"), cond=F.col("c_acctbal") > 9000),
+        ],
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    order_triples = _inline_triples(
+        orders,
+        [
+            _iri_struct(o_cust_iri, EX + "order", o_iri),
+            _iri_struct(o_iri, EX + "cust", o_cust_iri),
+            _iri_struct(o_iri, rdf_type, F.lit(EX + "Order")),
+        ],
+    )
+    hier = spark.createDataFrame([(EX + "VIP", EX + "BigCustomer")], "a string, b string")
+    hier_triples = _iri_triple(
+        hier, F.col("a"), "http://www.w3.org/2000/01/rdf-schema#subClassOf", F.col("b")
+    )
+    return cust_triples.unionByName(order_triples).unionByName(hier_triples)
 
 
 def _shacl_violations(spark, sf_dir, shapes_ttl: str) -> DataFrame:

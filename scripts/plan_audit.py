@@ -86,9 +86,16 @@ def main() -> None:
     p = plan_of(canon)
     check("canonical map applied via broadcast joins", p.count("BroadcastHashJoin") >= 2, p)
 
-    # 5. link argmax is a hash aggregate with partial combine (no sort window)
+    # 5. link argmax runs MAP-SIDE (array_max over broadcast candidate sets):
+    # no Window sort AND no shuffle of the corpus-sized mentions frame — the
+    # only exchange allowed in the link plan is the broadcast of the lexicon
     p = plan_of(links)
-    check("link argmax = HashAggregate (no Window sort)", "Window" not in p and "HashAggregate" in p, p)
+    non_broadcast_exchanges = p.count("Exchange") - p.count("BroadcastExchange")
+    check(
+        "link argmax is map-side (no Window, no corpus shuffle)",
+        "Window" not in p and non_broadcast_exchanges == 0 and "BroadcastExchange" in p,
+        p,
+    )
 
     spark.stop()
 

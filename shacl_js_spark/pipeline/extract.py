@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .synth import lexicon_df
+from .synth import lexicon_grouped_df
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
@@ -46,7 +46,9 @@ def extract_mentions(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("surface") != "")
     )
-    lex = lexicon_df(spark).select("surface").distinct()
+    # surfaces are dict keys — unique by construction; a .distinct() here
+    # would put a pointless hash exchange under the broadcast
+    lex = lexicon_grouped_df(spark).select("surface")
     return tokens.join(F.broadcast(lex), "surface", "left_semi").select(
         "doc_id", "span_idx", "token_idx", "surface", "offset"
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ops.dedup import md5_int
-from .synth import lexicon_df
+from .synth import lexicon_grouped_df
 
 
 def doc_affinity(doc_col, ent_col):
@@ -38,9 +38,7 @@ def doc_affinity(doc_col, ent_col):
 
 def link_entities(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     """-> links(doc_id, span_idx, token_idx, surface, offset, entity_id, score)."""
-    cands = lexicon_df(spark).groupBy("surface").agg(
-        F.collect_list(F.struct("entity_id", "prior")).alias("_cands")
-    )
+    cands = lexicon_grouped_df(spark)
     joined = mentions.join(F.broadcast(cands), "surface", "inner")
     best = F.array_max(
         F.transform(

@@ -122,3 +122,15 @@ def lexicon_df(spark: SparkSession) -> DataFrame:
         for (ent, prior) in cands
     ]
     return spark.createDataFrame(rows, "surface string, entity_id string, prior double")
+
+
+def lexicon_grouped_df(spark: SparkSession) -> DataFrame:
+    """(surface, _cands: array<struct<entity_id,prior>>) built DRIVER-SIDE:
+    the dictionary is in-memory already, so grouping it with a Spark
+    aggregation would add a pointless exchange to every plan that broadcasts
+    it (the link stage asserts zero non-broadcast exchanges)."""
+    rows = [(surface, cands) for surface, cands in ENTITY_LEXICON.items()]
+    return spark.createDataFrame(
+        rows,
+        "surface string, _cands array<struct<entity_id:string, prior:double>>",
+    )
