@@ -3,6 +3,11 @@
 # shipped artifacts always carry a fresh full-set run (the external driver
 # samples a subset; these logs are the full-coverage backstop evidence).
 
+# pipes must propagate failure: without pipefail `check_oracle | tee` would
+# exit 0 on a gate mismatch and the round would ship green on a broken gate
+SHELL := /bin/bash
+.SHELLFLAGS := -o pipefail -c
+
 SF_DIR ?= /root/testdata/sf0.01
 ROUND  ?= r03
 

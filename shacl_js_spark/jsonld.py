@@ -112,6 +112,9 @@ class _Parser:
             pfx, _, local = key.partition(":")
             if pfx in self.ctx:
                 return self._expand(self.ctx[pfx]["id"], _depth + 1) + local
+            # colon-containing values are IRIs in some other scheme
+            # (mailto:, did:, ...): JSON-LD never vocab-expands those
+            return key
         if key in self.ctx:
             return self._expand(self.ctx[key]["id"], _depth + 1)
         if self.vocab and not key.startswith("@"):

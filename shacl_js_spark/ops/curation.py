@@ -171,6 +171,8 @@ def pack_sequences_partitioned(
     # persist the partitioned frame: spark_partition_id() must be observed by
     # exactly one materialization so the totals job and the output job see
     # the same pid assignment (and the range shuffle runs once)
+    from ..graph import cut_lineage
+
     parted = (
         _sized(df)
         .repartitionByRange(num_partitions, "doc_id")
@@ -193,11 +195,14 @@ def pack_sequences_partitioned(
         local = parted.withColumn("cum_local", F.sum("n_tokens").over(w))
         out = local.join(F.broadcast(off_df), "_pid")
         start = F.col("_off") + F.col("cum_local") - F.col("n_tokens")
-        return out.select(
-            "doc_id", "n_tokens",
-            F.floor(start / budget).cast("long").alias("pack_id"),
-            (start % budget).cast("long").alias("pack_offset"),
+        # materialize eagerly so the per-call cache can be released here
+        # rather than leaking one pinned dataset per invocation
+        return cut_lineage(
+            out.select(
+                "doc_id", "n_tokens",
+                F.floor(start / budget).cast("long").alias("pack_id"),
+                (start % budget).cast("long").alias("pack_offset"),
+            )
         )
-    except Exception:
+    finally:
         parted.unpersist()
-        raise

@@ -158,7 +158,11 @@ def lsh_candidate_pairs(
 
     The returned pairs frame is materialized eagerly (lineage cut) so the
     per-band persisted signature frame can be unpersisted before return."""
-    sigs = sigs.persist()  # read once per band; avoids n_bands re-aggregations
+    # read once per band (avoids n_bands re-aggregations) — but only manage
+    # the cache we created: a caller who persisted sigs for reuse keeps it
+    own_sigs_cache = sigs.storageLevel.useMemory is False and sigs.storageLevel.useDisk is False
+    if own_sigs_cache:
+        sigs = sigs.persist()
     counted = None
     try:
         banded = _banded(sigs, bands, n_hashes)
@@ -195,7 +199,8 @@ def lsh_candidate_pairs(
         )
         return cut_lineage(pairs)
     finally:
-        sigs.unpersist()
+        if own_sigs_cache:
+            sigs.unpersist()
         if counted is not None:
             counted.unpersist()
 

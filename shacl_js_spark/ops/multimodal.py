@@ -166,14 +166,22 @@ def decode_video(payload: bytes) -> np.ndarray:
 
 def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
     """Seek ONE frame by timestamp -> float32 (h, w, 3); clamps to the last
-    frame (real pipelines sample sparse timestamps, never the whole clip)."""
+    frame (real pipelines sample sparse timestamps, never the whole clip).
+    Walks the FRAME markers (they may carry parameter bytes per the y4m
+    spec, so a fixed stride would land mid-plane) but materializes only the
+    target frame."""
     w, h, fps, pos = _y4m_header(payload)
     frame_bytes = w * h * 3
-    stride = len(b"FRAME\n") + frame_bytes
-    n_frames = (len(payload) - pos) // stride
-    idx = min(ts_ms * fps // 1000, n_frames - 1)
-    start = pos + idx * stride + len(b"FRAME\n")
-    raw = np.frombuffer(payload[start : start + frame_bytes], dtype=np.uint8)
+    marker = b"FRAME"
+    starts = []
+    while pos < len(payload):
+        if payload[pos : pos + len(marker)] != marker:
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        data_start = payload.index(b"\n", pos) + 1
+        starts.append(data_start)
+        pos = data_start + frame_bytes
+    idx = min(ts_ms * fps // 1000, len(starts) - 1)
+    raw = np.frombuffer(payload[starts[idx] : starts[idx] + frame_bytes], dtype=np.uint8)
     return raw.astype(np.float32).reshape(3, h, w).transpose(1, 2, 0)
 
 

@@ -46,15 +46,56 @@ class IncrementalValidator:
         self.graph_dir = os.path.join(work_dir, "graph")
         self.report_dir = os.path.join(work_dir, "report")
         self.extra_hops = extra_hops
-        self.n_buckets = n_buckets
         os.makedirs(work_dir, exist_ok=True)
+        # bucket count is a property of the STORE, not the session: a restart
+        # with a different n_buckets would strand rows in old-hash buckets
+        # that no batch ever rewrites, so an existing store's value wins
+        meta_path = os.path.join(work_dir, "report_meta.json")
+        if os.path.isfile(meta_path):
+            import json
+
+            with open(meta_path) as fh:
+                stored = json.load(fh)["n_buckets"]
+            if stored != n_buckets:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "report store was created with n_buckets=%d; ignoring "
+                    "requested n_buckets=%d", stored, n_buckets,
+                )
+            self.n_buckets = stored
+        else:
+            import json
+
+            with open(meta_path, "w") as fh:
+                json.dump({"n_buckets": n_buckets}, fh)
+            self.n_buckets = n_buckets
 
     def _bucket(self, col):
         # Murmur3 with Spark's fixed seed: stable across batches and runs
         return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
 
+    def _recover_buckets(self) -> None:
+        """Finish any bucket swap interrupted by a crash: a `bucket=K.old`
+        dir whose `bucket=K` is missing means the crash hit between the
+        rename-aside and the move-in — restore the old data (the replayed
+        batch will re-upsert it); if `bucket=K` exists the swap completed,
+        drop the leftover."""
+        if not os.path.isdir(self.report_dir):
+            return
+        for entry in os.listdir(self.report_dir):
+            if not entry.endswith(".old"):
+                continue
+            old = os.path.join(self.report_dir, entry)
+            final = os.path.join(self.report_dir, entry[: -len(".old")])
+            if os.path.isdir(final):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, final)
+
     # -- the foreachBatch callback -------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._recover_buckets()
         batch_df.write.mode("append").parquet(self.graph_dir)
         # RDF set semantics over the accumulated graph: replayed batches
         # (at-least-once delivery) re-append the same triples; without the
@@ -143,18 +184,25 @@ class IncrementalValidator:
         merged = new_rows if kept is None else kept.unionByName(new_rows)
 
         # staged write + per-bucket swap: unaffected buckets are never
-        # rewritten (their files stay byte-identical across the batch)
+        # rewritten (their files stay byte-identical across the batch).
+        # Swap order is crash-safe: rename the old bucket ASIDE first, move
+        # the staged one in, then drop the aside copy — a crash in any gap
+        # leaves either the .old dir (restored by _recover_buckets on the
+        # replayed batch) or a completed swap, never a lost bucket.
         staging = f"{self.report_dir}.staging-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         os.makedirs(self.report_dir, exist_ok=True)
         for b in affected:
             dst = f"{self.report_dir}/bucket={b}"
             src = f"{staging}/bucket={b}"
+            aside = dst + ".old"
             if os.path.isdir(dst):
-                shutil.rmtree(dst)
+                os.rename(dst, aside)
             if os.path.isdir(src):
                 shutil.move(src, dst)
             # else: every row of this bucket was deleted and none added
+            if os.path.isdir(aside):
+                shutil.rmtree(aside)
         shutil.rmtree(staging, ignore_errors=True)
         new_rows.unpersist()
         reval.unpersist()
@@ -169,6 +217,7 @@ class IncrementalValidator:
         return writer.start()
 
     def report(self) -> DataFrame:
+        self._recover_buckets()
         has_data = os.path.isdir(self.report_dir) and any(
             e.startswith("bucket=") for e in os.listdir(self.report_dir)
         )

@@ -164,6 +164,11 @@ def test_media_codecs_roundtrip():
     assert f0.shape == (6, 8, 3)
     assert np.array_equal(f0, clip[0]) and np.array_equal(f_last, clip[-1])
     assert not np.array_equal(clip[0], clip[1])  # frames differ
+    # FRAME lines may carry parameter bytes (y4m spec): the seek path must
+    # walk markers, not assume a fixed stride
+    vid_params = vid.replace(b"FRAME\n", b"FRAME Ixyz\n")
+    assert np.array_equal(decode_video_frame(vid_params, 10_000), clip[-1])
+    assert np.array_equal(decode_video(vid_params)[1], clip[1])
 
 
 def test_multimodal_plumbing(spark):

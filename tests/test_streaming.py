@@ -121,6 +121,45 @@ def test_incremental_bucketed_upsert_leaves_other_buckets_untouched(spark, tmp_p
     assert "http://e/p0" not in {r["focus_v"] for r in iv.report().collect()}
 
 
+def test_incremental_bucket_swap_crash_recovery(spark, tmp_path):
+    # simulate a crash between rename-aside and move-in: the bucket dir is
+    # gone but its .old copy exists — report()/the replayed batch must
+    # restore it, not lose the cohabiting bubbles' rows
+    import shutil
+
+    shapes = LocalGraph.from_turtle(SHAPES)
+    iv = IncrementalValidator(spark, shapes, str(tmp_path / "crash"), n_buckets=2)
+    ttl0 = "@prefix ex: <http://e/> .\n" + "\n".join(
+        f"ex:p{i} a ex:Person ." for i in range(10)
+    )
+    iv.process_batch(_batch_df(spark, ttl0), 0)
+    before = {r["focus_v"] for r in iv.report().collect()}
+    assert len(before) == 10
+    # crash injection: one bucket left aside, real dir missing
+    victims = [e for e in os.listdir(iv.report_dir) if e.startswith("bucket=")]
+    victim = os.path.join(iv.report_dir, victims[0])
+    shutil.move(victim, victim + ".old")
+    assert {r["focus_v"] for r in iv.report().collect()} == before
+    # and a finished swap's leftover .old is cleaned, not restored
+    shutil.copytree(victim, victim + ".old")
+    iv.process_batch(_batch_df(spark, "@prefix ex: <http://e/> .\nex:p0 ex:name \"n\" ."), 1)
+    assert not os.path.isdir(victim + ".old")
+    assert {r["focus_v"] for r in iv.report().collect()} == before - {"http://e/p0"}
+
+
+def test_incremental_n_buckets_sticky_across_restart(spark, tmp_path):
+    # the store records its bucket count; a restart with a different value
+    # must adopt the stored one (otherwise old-hash buckets go stale)
+    shapes = LocalGraph.from_turtle(SHAPES)
+    work = str(tmp_path / "sticky")
+    iv1 = IncrementalValidator(spark, shapes, work, n_buckets=8)
+    iv1.process_batch(_batch_df(spark, BATCH1), 0)
+    iv2 = IncrementalValidator(spark, shapes, work, n_buckets=3)
+    assert iv2.n_buckets == 8
+    iv2.process_batch(_batch_df(spark, BATCH2), 1)
+    assert {r["focus_v"] for r in iv2.report().collect()} == {"http://e/c"}
+
+
 def test_incremental_via_stream_source(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
