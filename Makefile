@@ -11,7 +11,20 @@ SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.01
 ROUND  ?= r03
 
-.PHONY: gate bench verify test
+.PHONY: gate bench verify test dist submit-smoke
+
+# Package the engine for spark-submit --py-files (north rule: the pipeline
+# must run via spark-submit on a multi-executor cluster).
+dist:
+	rm -f dist/engine.zip && mkdir -p dist
+	cd . && zip -qr dist/engine.zip shacl_js_spark -x '*__pycache__*'
+
+# Prove the spark-submit path end-to-end at small scale.
+submit-smoke: dist
+	rm -rf /tmp/kg_submit_smoke
+	spark-submit --master local[8] --driver-memory 4g \
+	  --py-files dist/engine.zip scripts/submit_pipeline.py \
+	  --input /root/testdata/sf0.001 --output /tmp/kg_submit_smoke 2>&1 | tail -1
 
 gate:
 	python scripts/check_oracle.py $(SF_DIR) 2>&1 | grep -v -E "WARN|FutureWarning|serializers.py" | tee BENCH/full_gate_$(ROUND).log

@@ -117,11 +117,45 @@ def run_calibration(cpus: str) -> dict:
             "hashes_per_sec": round(150_000_000 / wall, 0)}
 
 
+def _ensure_dist() -> str:
+    """Build dist/engine.zip (same layout as `make dist`) if absent."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "dist", "engine.zip")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(os.path.join(repo, "shacl_js_spark")):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+    return path
+
+
 def _spawn(kind: str, cpus: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", kind, str(cpus)],
-        capture_output=True, text=True, timeout=3600,
-    )
+    # Default launcher is spark-submit --py-files (the literal invocation the
+    # north rule names): executors import the engine from dist/engine.zip,
+    # not from the repo checkout.  SPARK_GRAFT_LAUNCHER=python falls back to
+    # the in-process harness (identical measurement, lighter startup).
+    script = os.path.abspath(__file__)
+    if os.environ.get("SPARK_GRAFT_LAUNCHER", "submit") == "submit":
+        cmd = [
+            "spark-submit",
+            "--master", _master(str(cpus)),
+            "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+            # must be set before the JVM starts; the builder copy is a no-op
+            # under spark-submit
+            "--conf", "spark.local.dir="
+            + os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+            "--py-files", _ensure_dist(),
+            script, "--worker", kind, str(cpus),
+        ]
+    else:
+        cmd = [sys.executable, script, "--worker", kind, str(cpus)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
     if not lines:
         print(out.stdout[-1500:], out.stderr[-1500:])
