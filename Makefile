@@ -14,17 +14,23 @@ ROUND  ?= r03
 .PHONY: gate bench verify test dist submit-smoke
 
 # Package the engine for spark-submit --py-files (north rule: the pipeline
-# must run via spark-submit on a multi-executor cluster).
+# must run via spark-submit on a multi-executor cluster).  Single zip
+# builder shared with scaling_bench and tests/test_packaging.py.
 dist:
-	rm -f dist/engine.zip && mkdir -p dist
-	cd . && zip -qr dist/engine.zip shacl_js_spark -x '*__pycache__*'
+	python -c "import sys; sys.path.insert(0,'scripts'); \
+	  from scaling_bench import build_engine_zip; print(build_engine_zip())"
 
-# Prove the spark-submit path end-to-end at small scale.
+# Prove the spark-submit path end-to-end at small scale.  Full log kept in
+# BENCH/submit_smoke.log; the JSON metrics line (not an arbitrary trailing
+# log line) is what gets echoed.
 submit-smoke: dist
 	rm -rf /tmp/kg_submit_smoke
 	spark-submit --master local[8] --driver-memory 4g \
 	  --py-files dist/engine.zip scripts/submit_pipeline.py \
-	  --input /root/testdata/sf0.001 --output /tmp/kg_submit_smoke 2>&1 | tail -1
+	  --input /root/testdata/sf0.001 --output /tmp/kg_submit_smoke \
+	  > BENCH/submit_smoke.log 2>&1 \
+	  || { tail -30 BENCH/submit_smoke.log; exit 1; }
+	grep -E '^\{"input"' BENCH/submit_smoke.log | tail -1
 
 gate:
 	python scripts/check_oracle.py $(SF_DIR) 2>&1 | grep -v -E "WARN|FutureWarning|serializers.py" | tee BENCH/full_gate_$(ROUND).log

@@ -117,19 +117,24 @@ def run_calibration(cpus: str) -> dict:
             "hashes_per_sec": round(150_000_000 / wall, 0)}
 
 
-def _ensure_dist() -> str:
-    """Build dist/engine.zip (same layout as `make dist`) if absent."""
+def build_engine_zip(path: str | None = None) -> str:
+    """Build the --py-files engine zip.  Single source of truth for the dist
+    layout: `make dist`, the scaling-bench launcher, and the packaging test
+    all call this.  Ships EVERY package file except bytecode caches (so a
+    future non-.py resource — a .ttl shapes file, a .json context — can't
+    silently diverge between the Makefile zip and the bench zip).  Always
+    rebuilds: the zip must reflect the working tree being measured."""
     import zipfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(repo, "dist", "engine.zip")
+    path = path or os.path.join(repo, "dist", "engine.zip")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(os.path.join(repo, "shacl_js_spark")):
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                if not f.endswith((".pyc", ".pyo")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, repo))
     return path
@@ -141,7 +146,13 @@ def _spawn(kind: str, cpus: str) -> dict:
     # not from the repo checkout.  SPARK_GRAFT_LAUNCHER=python falls back to
     # the in-process harness (identical measurement, lighter startup).
     script = os.path.abspath(__file__)
+    env = dict(os.environ)
     if os.environ.get("SPARK_GRAFT_LAUNCHER", "submit") == "submit":
+        # pin the worker Python to this interpreter — otherwise spark-submit
+        # resolves whatever python3 is on PATH and the two launchers would
+        # measure different interpreters/libraries
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
+        env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
         cmd = [
             "spark-submit",
             "--master", _master(str(cpus)),
@@ -150,12 +161,17 @@ def _spawn(kind: str, cpus: str) -> dict:
             # under spark-submit
             "--conf", "spark.local.dir="
             + os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
-            "--py-files", _ensure_dist(),
+            "--py-files", build_engine_zip(),
             script, "--worker", kind, str(cpus),
         ]
     else:
         cmd = [sys.executable, script, "--worker", kind, str(cpus)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"{cmd[0]} not on PATH — install Spark or set SPARK_GRAFT_LAUNCHER=python"
+        )
     lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
     if not lines:
         print(out.stdout[-1500:], out.stderr[-1500:])

@@ -34,6 +34,8 @@ def main(argv=None) -> int:
                     help="override spark.sql.shuffle.partitions (default: scale with parallelism)")
     ap.add_argument("--no-validate", action="store_true", help="skip the SHACL validate stage")
     args = ap.parse_args(argv)
+    if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
+        ap.error("--shuffle-partitions must be >= 1")
 
     from pyspark.sql import SparkSession
 
@@ -42,7 +44,7 @@ def main(argv=None) -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
     )
-    if args.shuffle_partitions:
+    if args.shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,11 +56,15 @@ def main(argv=None) -> int:
 
     t0 = time.monotonic()
     result = run_pipeline(spark, args.input, args.output, validate=not args.no_validate)
+    # every stage is already materialized (PipelineRunner persists each one),
+    # so the wall clock stops HERE — the count() calls below are bookkeeping
+    # reads of the written parquet, not pipeline work, and must not depress
+    # the reported triples/sec
+    wall = time.monotonic() - t0
     counts = {}
     for stage in ("documents", "mentions", "links", "triples", "nodes", "edges", "report"):
         if stage in result:
             counts[stage] = result[stage].count()
-    wall = time.monotonic() - t0
     print(json.dumps({
         "input": args.input,
         "output": args.output,

@@ -7,26 +7,26 @@ resource loads (executors unpack only the zip)."""
 import os
 import subprocess
 import sys
-import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_zip(path: str) -> None:
-    pkg = os.path.join(REPO, "shacl_js_spark")
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg):
-            if "__pycache__" in root:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, REPO))
+def _clean_pythonpath() -> str:
+    """Drop repo-referencing entries so the zip is the only source of the
+    engine, but keep the rest (pyspark may ship via PYTHONPATH on
+    SPARK_HOME-style installs)."""
+    keep = [
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and not os.path.abspath(p).startswith(REPO)
+    ]
+    return os.pathsep.join(keep)
 
 
 def test_engine_zip_imports_standalone(tmp_path):
-    zip_path = str(tmp_path / "engine.zip")
-    build_zip(zip_path)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from scaling_bench import build_engine_zip  # the one true dist builder
+
+    zip_path = build_engine_zip(str(tmp_path / "engine.zip"))
     # Import every public surface from the zip in a clean interpreter whose
     # cwd is NOT the repo, so a stray repo-relative import would fail loudly.
     code = (
@@ -46,7 +46,7 @@ def test_engine_zip_imports_standalone(tmp_path):
     out = subprocess.run(
         [sys.executable, "-c", code, zip_path],
         cwd=str(tmp_path), capture_output=True, text=True, timeout=60,
-        env={**os.environ, "PYTHONPATH": ""},
+        env={**os.environ, "PYTHONPATH": _clean_pythonpath()},
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "OK"
