@@ -146,6 +146,11 @@ def main() -> None:
     timings["shacl_validate"] = wall
     extras["shacl_validate_samples"] = samples
 
+    # min-of-2 for every operator line, same rationale as the headlines:
+    # documented 2x host variance, plus the shared-input caches in
+    # __spark_entry__ mean a first call may pay a one-time build that later
+    # callers of the same graph amortize — the min reports the steady state,
+    # and both samples are printed for the skeptical reader
     for name in (
         "dedup_minhash",
         "dedup_lsh_pairs",
@@ -161,9 +166,9 @@ def main() -> None:
         "rdf_path_zero_or_more",
         "kg_cooccur",
     ):
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        wall, samples, _ = min_of(2, lambda: qs[name](spark, sf_dir).count())
+        timings[name] = wall
+        extras[f"{name}_samples"] = samples
 
     print(
         json.dumps(
