@@ -262,12 +262,29 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5, max_d
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a_sh = rare.select(F.col("doc_id").alias("a"), "shingle")
-    b_sh = rare.select(F.col("doc_id").alias("b"), "shingle")
+    # pair generation: group each surviving shingle's doc list (bounded by
+    # max_df because the df-cap semi-join runs FIRST — the collect_list
+    # buffer can never exceed max_df ids) and explode ordered pairs
+    # map-side.  One groupBy on the same shingle key the semi-join already
+    # shuffled on, instead of a second full shuffle + sort-merge self-join
+    # of the shingle frame.
+    docs_per_shingle = rare.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.size("docs")),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+    )
     shared = (
-        a_sh.join(b_sh, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        docs_per_shingle.select(pair.alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))

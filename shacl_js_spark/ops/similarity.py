@@ -41,14 +41,33 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFram
 
 
 def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, embedding, centroid_id) via broadcast argmax over csim."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    """(vec_id, embedding, centroid_id): fully MAP-SIDE argmax.
+
+    The K centroids are packed into ONE broadcast row holding an
+    array<struct<centroid_id, ce>>; each vector scores all K inside a
+    `transform` lambda and `array_max` picks the winner (csim desc, then
+    centroid_id asc via the negated-id struct field — same tie-break as an
+    ORDER BY csim DESC, centroid_id).  No K-fold row blowup, no shuffle, no
+    window sort: at 10^9 vectors the assignment stage stays embarrassingly
+    parallel, which a Window.partitionBy(vec_id) over a crossJoin-expanded
+    corpus is not."""
+    packed = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "ce")).alias("_cents"))
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("embedding"), c["ce"]), 6).alias("csim"),
+            (-c["centroid_id"]).alias("_neg_id"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
+    )
     return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cosine(F.col("embedding"), F.col("ce")), 6))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        emb.crossJoin(packed)
+        .select(
+            "vec_id", "embedding",
+            F.array_max(scored)["centroid_id"].alias("centroid_id"),
+        )
     )
 
 
