@@ -85,12 +85,19 @@ def emit_triples(
         ),
     ]
 
-    # no intermediate distinct(): the final canonicalize dropDuplicates(s,p,o)
-    # dedups globally — saves one shuffle + barrier per branch
-    doc_ents = links.select("doc_id", "entity_id")
+    # Dedup the NARROW frames before widening to triples: a doc mentioning
+    # an entity via several surfaces, and every link row re-asserting the
+    # entity's type/label, would otherwise inflate the union ~5x (measured
+    # 14.5M raw -> 2.9M distinct at sf0.1x20) and push that inflation as
+    # WIDE triple rows through the final canonicalize dedup shuffle.  The
+    # narrow distincts are partial-aggregated map-side (within-doc dups
+    # combine before the exchange) and the entity frame collapses to
+    # lexicon size, so the expensive wide dedup only handles the dups that
+    # canonicalization itself creates.
+    doc_ents = links.select("doc_id", "entity_id").distinct()
     parts.append(_triple(doc_ents, doc_iri, EX + "mentions", _iri_cols(ent_iri)))
 
-    ents = links.select("entity_id", "surface")
+    ents = links.select("entity_id", "surface").distinct()
     parts.append(_triple(ents, ent_iri, RDF_TYPE, _iri_cols(F.lit(EX + "Entity"))))
     parts.append(_triple(ents, ent_iri, RDFS_LABEL, _lit_cols(F.col("surface"))))
 
@@ -107,9 +114,11 @@ def emit_triples(
     # md5 (not sha1): portable across engines so the oracle can rebuild it
     media_iri = F.concat(F.lit(EX + "media/"), F.md5(F.col("media_ref")))
     parts.append(_triple(media, doc_iri, EX + "hasMedia", _iri_cols(media_iri)))
+    # media node typing is per media object, not per referencing doc — the
+    # narrow distinct collapses the shared-media fan-in before widening
     parts.append(
         _triple(
-            media, media_iri, RDF_TYPE,
+            media.select("media_ref", "media_kind").distinct(), media_iri, RDF_TYPE,
             _iri_cols(F.concat(F.lit(EX), F.col("media_kind"))),
         )
     )
