@@ -97,6 +97,29 @@ def main() -> None:
         p,
     )
 
+    # 6. ANN centroid assignment is map-side: the K-centroid argmax must not
+    # window-sort or shuffle the vector corpus (only the packed-centroid
+    # broadcast and the seed-centroid collect are allowed exchanges)
+    from shacl_js_spark.ops.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = ivf_assign(emb, n_centroids=4, iters=1)
+    p = plan_of(assigned)
+    # Lloyd's per-dim mean aggregation shuffles (centroid_id, pos) rows —
+    # K*dims-sized, fine; the corpus-sized frame itself must not exchange.
+    check("ivf assignment has no Window sort", "Window" not in p, p)
+    check("ivf assignment broadcasts packed centroids", "BroadcastExchange" in p, p)
+
+    # 7. emit pre-dedups narrow frames: the triple union's row count must be
+    # within 2x of the distinct output (was 5x before the narrow distincts),
+    # i.e. the wide canonicalize dedup no longer absorbs branch inflation
+    n_raw = trips.count()
+    n_distinct = trips.dropDuplicates(["s", "p", "o"]).count()
+    check(
+        f"emit inflation bounded (raw={n_raw} <= 1.2x distinct={n_distinct})",
+        n_raw <= 1.2 * n_distinct,
+    )
+
     spark.stop()
 
 
