@@ -29,6 +29,7 @@ from shacl_js_spark.ops.dedup import (
     MINHASH_P,
     N_HASHES,
     cosine,
+    dup_clusters,
     embedding_cosine_pairs,
     exact_dedup_groups,
     hash_params,
@@ -1051,6 +1052,16 @@ def q_dedup_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs resolved into duplicate clusters (connected
+    components, cluster_id = min member): the end-to-end dedup flow — pair
+    generation is banded/bucketed, cluster resolution is the shared CC
+    operator (transitive dups A~B~C land in one cluster even when (A,C) was
+    never a candidate pair)."""
+    pairs = q_dedup_lsh_pairs(spark, sf_dir)
+    return dup_clusters(spark, pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _pq(spark, sf_dir, "documents")
     return simhash(docs).select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
@@ -1427,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -2060,6 +2072,32 @@ def oracle_sql() -> dict[str, str]:
             kept AS (SELECT banded.* FROM banded JOIN keep USING (band, bucket))
             SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b
             FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sigs AS ({_minhash_sql()}),
+            banded AS (
+              {' UNION ALL '.join(
+                  "SELECT doc_id, %d AS band, md5(CAST(mh_%d AS VARCHAR) || '_' || CAST(mh_%d AS VARCHAR)) AS bucket FROM sigs"
+                  % (b, 2 * b, 2 * b + 1)
+                  for b in range(LSH_BANDS)
+              )}
+            ),
+            keep AS (SELECT band, bucket FROM banded
+                     GROUP BY band, bucket HAVING count(*) <= {MAX_LSH_BUCKET}),
+            kept AS (SELECT banded.* FROM banded JOIN keep USING (band, bucket)),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+            ),
+            und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS n FROM und),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, u.dst FROM reach r JOIN und u ON r.m = u.src
+            )
+            SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY n
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""

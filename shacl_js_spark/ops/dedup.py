@@ -324,3 +324,30 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.9, block_on: str
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+# --- cluster resolution ------------------------------------------------------
+
+def dup_clusters(spark, pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Resolve candidate pairs into duplicate CLUSTERS: connected components
+    over the pair graph, cluster_id = smallest doc_id in the component (the
+    canonical doc a dedup pass keeps).  The standard final step after
+    LSH/jaccard pair generation — transitive duplicates (A~B, B~C) land in
+    one cluster even when (A,C) was never a candidate pair.
+
+    Docs that appear in no pair are absent from the output (they dedup to
+    themselves).  Reuses the pipeline's connected-components operator
+    (driver union-find below 1M edges, distributed min-label fixpoint
+    above); ids are zero-padded before labeling so lexicographic min-label
+    propagation agrees with numeric min, then cast back."""
+    from ..pipeline.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.lpad(F.col(a_col).cast("string"), 20, "0").alias("src"),
+        F.lpad(F.col(b_col).cast("string"), 20, "0").alias("dst"),
+    )
+    m = connected_components(spark, edges)
+    return m.select(
+        F.col("entity_id").cast("bigint").alias("doc_id"),
+        F.col("canonical_id").cast("bigint").alias("cluster_id"),
+    )

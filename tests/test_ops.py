@@ -323,3 +323,34 @@ def test_shingles_short_docs_no_crash(spark):
     assert 4 not in rows  # empty text -> no shingle
     # and the minhash path over the same frame completes
     assert minhash_signatures(df).count() == 3
+
+
+def test_dup_clusters_transitive(spark):
+    """A~B and B~C must land in one cluster keyed by the numeric-min doc id,
+    even though (A,C) was never a pair; both the driver union-find and the
+    distributed min-label path must agree (zero-padding makes lexicographic
+    label propagation equal numeric min — 9 vs 10 would order wrong as
+    bare strings)."""
+    from shacl_js_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 9), (9, 2), (100, 30)], "a bigint, b bigint"
+    )
+    expected = {(2, 2), (9, 2), (10, 2), (30, 30), (100, 30)}
+
+    got = {tuple(r) for r in dup_clusters(spark, pairs).collect()}
+    assert got == expected
+
+    # distributed fixpoint path (driver_threshold=0 forces it)
+    import shacl_js_spark.pipeline.canonicalize as cc
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), 20, "0").alias("src"),
+        F.lpad(F.col("b").cast("string"), 20, "0").alias("dst"),
+    )
+    m = cc.connected_components(spark, edges, driver_threshold=0)
+    got_dist = {
+        (int(r["entity_id"]), int(r["canonical_id"])) for r in m.collect()
+    }
+    assert got_dist == expected
