@@ -43,6 +43,7 @@ from shacl_js_spark.ops.similarity import brute_force_topk, ivf_assign
 from shacl_js_spark.ops.text import fingerprint, lang_id, quality_score, token_stats
 from shacl_js_spark.pipeline.canonicalize import alias_edges, connected_components
 from shacl_js_spark.pipeline.synth import ENTITY_LEXICON, interleaved_documents, lexicon_df
+from shacl_js_spark.graph import ordered_pairs
 from shacl_js_spark.plans.query import RDFQueryDF
 from shacl_js_spark.shapes import Path
 from shacl_js_spark.validation import Engine
@@ -949,7 +950,15 @@ def q_kg_mentions(spark, sf_dir):
 
 
 def q_kg_links_prior(spark, sf_dir):
-    """Prior-only argmax linking (the SQL-checkable variant of link.py)."""
+    """Prior-only argmax linking (the SQL-checkable variant of link.py);
+    cached so its consumers (kg_cooccur) and a direct gate call share one
+    build."""
+    return _cached_input(
+        "links_prior", spark, sf_dir, lambda: _links_prior_build(spark, sf_dir)
+    )
+
+
+def _links_prior_build(spark, sf_dir):
     from pyspark.sql import Window
 
     m = _mentions(spark, sf_dir).select("doc_id", "surface").distinct()
@@ -966,25 +975,11 @@ def q_kg_links_prior(spark, sf_dir):
 def q_kg_cooccur(spark, sf_dir):
     # production shape (emit.py's grouped explosion): per-doc entity sets
     # exploded to ordered pairs map-side — no row-level self-join on doc_id
-    links = _cached_input(
-        "links_prior", spark, sf_dir, lambda: q_kg_links_prior(spark, sf_dir)
-    ).select("doc_id", "entity_id")
+    links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id")
     grouped = links.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("entity_id")).alias("ents")
     )
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ents"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ents"), i + 2, F.size("ents")),
-                        lambda b: F.struct(a.alias("ea"), b.alias("eb")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
+    pairs = grouped.select(F.explode(ordered_pairs("ents", "ea", "eb")).alias("p"))
     return pairs.groupBy(F.col("p.ea").alias("ea"), F.col("p.eb").alias("eb")).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
@@ -995,9 +990,7 @@ def q_kg_entity_counts_salted(spark, sf_dir):
     aggregation (pipeline/skew.py) — the oracle proves salted == plain."""
     from shacl_js_spark.pipeline.skew import entity_mention_counts
 
-    links = _cached_input(
-        "links_prior", spark, sf_dir, lambda: q_kg_links_prior(spark, sf_dir)
-    ).select("doc_id", "entity_id")
+    links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id")
     return entity_mention_counts(links, buckets=16).select(
         "entity_id", F.col("n_mentions").cast("bigint").alias("n_mentions")
     )

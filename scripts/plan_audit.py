@@ -111,8 +111,9 @@ def main() -> None:
     check("ivf assignment broadcasts packed centroids", "BroadcastExchange" in p, p)
 
     # 7. emit pre-dedups narrow frames: the triple union's row count must be
-    # within 2x of the distinct output (was 5x before the narrow distincts),
-    # i.e. the wide canonicalize dedup no longer absorbs branch inflation
+    # within 1.2x of the distinct output (was 5x before the narrow
+    # distincts), i.e. the wide canonicalize dedup no longer absorbs branch
+    # inflation
     n_raw = trips.count()
     n_distinct = trips.dropDuplicates(["s", "p", "o"]).count()
     check(

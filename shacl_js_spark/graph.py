@@ -36,6 +36,26 @@ TRIPLE_SCHEMA = StructType([StructField(n, StringType(), True) for n in TRIPLE_F
 DEFAULT_GRAPH = "urn:x-shacl:dataGraph"  # ref: index.js:26
 
 
+def ordered_pairs(arr, a_name: str = "a", b_name: str = "b"):
+    """array<T> (assumed sorted, distinct) -> array<struct<a,b>> of all
+    ordered pairs (a before b in the array).  The map-side pair-explosion
+    idiom shared by co-occurrence emission, grouped n-gram pair generation,
+    and the co-occurrence oracle query — one definition so the slice
+    arithmetic can't drift between them."""
+    from pyspark.sql import functions as F
+
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda b: F.struct(a.alias(a_name), b.alias(b_name)),
+            ),
+        )
+    )
+
+
 _warned_checkpoint_cleanup = False
 
 

@@ -24,7 +24,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import cut_lineage
+from ..graph import cut_lineage, ordered_pairs
 
 MINHASH_P = 2147483647  # 2^31 - 1
 N_HASHES = 16
@@ -271,17 +271,7 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5, max_d
     docs_per_shingle = rare.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda a, i: F.transform(
-                    F.slice(F.col("docs"), i + 2, F.size("docs")),
-                    lambda b: F.struct(a.alias("a"), b.alias("b")),
-                ),
-            )
-        )
-    )
+    pair = F.explode(ordered_pairs("docs"))
     shared = (
         docs_per_shingle.select(pair.alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -342,9 +332,25 @@ def dup_clusters(spark, pairs: DataFrame, a_col: str = "a", b_col: str = "b") ->
     propagation agrees with numeric min, then cast back."""
     from ..pipeline.canonicalize import connected_components
 
+    def packed(col):
+        # contract: non-negative integer ids.  bigint caps at 19 digits so
+        # the 20-char pad can never truncate; a negative or non-integer id
+        # would break the lexicographic-min == numeric-min property, so fail
+        # loudly per-row instead of silently mis-clustering
+        as_int = F.col(col).try_cast("bigint")
+        checked = F.when(as_int.isNotNull() & (as_int >= 0), as_int).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"dup_clusters: {col} must be a non-negative "
+                          "integer id, got "),
+                    F.col(col).cast("string"),
+                )
+            )
+        )
+        return F.lpad(checked.cast("string"), 20, "0")
+
     edges = pairs.select(
-        F.lpad(F.col(a_col).cast("string"), 20, "0").alias("src"),
-        F.lpad(F.col(b_col).cast("string"), 20, "0").alias("dst"),
+        packed(a_col).alias("src"), packed(b_col).alias("dst")
     )
     m = connected_components(spark, edges)
     return m.select(

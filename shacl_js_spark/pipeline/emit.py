@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph import TRIPLE_FIELDS
+from ..graph import TRIPLE_FIELDS, ordered_pairs
 from ..terms import NAMESPACES
 
 EX = "http://example.org/kg#"
@@ -130,18 +130,7 @@ def emit_triples(
         F.sort_array(F.collect_set("entity_id")).alias("ents")
     )
     pairs = grouped.select(
-        "doc_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ents"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ents"), i + 2, F.size("ents")),
-                        lambda b: F.struct(a.alias("ea"), b.alias("eb")),
-                    ),
-                )
-            )
-        ).alias("pair"),
+        "doc_id", F.explode(ordered_pairs("ents", "ea", "eb")).alias("pair")
     ).select(F.col("pair.ea").alias("ea"), F.col("pair.eb").alias("eb")).distinct()
     ea_iri = F.concat(F.lit(EX + "entity/"), F.col("ea"))
     eb_iri = F.concat(F.lit(EX + "entity/"), F.col("eb"))
