@@ -293,20 +293,24 @@ class Engine:
                     stack.append(ch)
         return out
 
-    def class_instances_df(self, cls: Term, prefix: str = "focus") -> DataFrame:
+    def class_instances_df(
+        self, cls: Term, prefix: str = "focus", dedup: bool = True
+    ) -> DataFrame:
         encs = list(self.data_subclasses(cls.encoded()) | {cls.encoded()})
-        return (
-            self.data.filter((F.col("p") == RDF_TYPE_ENC) & F.col("o").isin(encs))
-            .select(*subject_decomposed("s", prefix))
-            .dropDuplicates([prefix])
-        )
+        out = self.data.filter(
+            (F.col("p") == RDF_TYPE_ENC) & F.col("o").isin(encs)
+        ).select(*subject_decomposed("s", prefix))
+        # callers that union several target pieces dedup once at the end
+        # (dedup=False) — stacking a per-piece dedup under the union dedup
+        # costs an extra sort-aggregate pass over the same rows
+        return out.dropDuplicates([prefix]) if dedup else out
 
     # --------------------------------------------------------------- targets
     def targets_frame(self, shape: Shape) -> DataFrame:
         spec = self.ir.target_spec(shape.node)
         pieces: list[DataFrame] = []
         for cls in spec.classes:
-            pieces.append(self.class_instances_df(cls))
+            pieces.append(self.class_instances_df(cls, dedup=False))
         if spec.nodes:
             pieces.append(terms_frame(self.spark, spec.nodes, "focus"))
         for pred in spec.subjects_of:
@@ -688,7 +692,15 @@ class Engine:
         # (validation-engine.js:224-232). Violations recorded with the CHILD's
         # focus/severity/shape; bubbled to the parent focus for conformance.
         child = self.ir.get_shape(c.param_value)
-        candidates = self._values_as_candidates(values)
+        if shape.path is None:
+            # node shape: values IS the focus frame, which is distinct by
+            # construction (targets_frame ends in a dedup) — renaming is
+            # enough, no third dedup pass over the same rows
+            candidates = values.select(
+                *[F.col(c_).alias(c_.replace("value", "focus")) for c_ in term_cols("value")]
+            )
+        else:
+            candidates = self._values_as_candidates(values)
         child_viols = self.shape_violations(child, candidates)
         mapping = values.select(
             F.col("focus").alias("_pfocus"), F.col("value").alias("_pvalue")
