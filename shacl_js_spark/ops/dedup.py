@@ -168,8 +168,9 @@ def lsh_candidate_pairs(
         banded = _banded(sigs, bands, n_hashes)
         if max_bucket is not None:
             # window count over (band,bucket) instead of groupBy + semi-join:
-            # one shuffle, and the downstream bucket self-join reuses the same
-            # hash partitioning (no second exchange of the banded frame)
+            # one shuffle, and the downstream grouped pair generation reuses
+            # the same hash partitioning (no second exchange of the banded
+            # frame)
             from pyspark.sql import Window
 
             w = Window.partitionBy("band", "bucket")
@@ -189,12 +190,18 @@ def lsh_candidate_pairs(
                         n_dropped, max_bucket,
                     )
             banded = counted.filter(F.col("_n") <= max_bucket).drop("_n")
-        left = banded.select("band", "bucket", F.col("doc_id").alias("a"))
-        right = banded.select("band", "bucket", F.col("doc_id").alias("b"))
+        # pair generation: group each bucket's member list (bounded by the
+        # cap filter above, so the collect_list buffer holds <= max_bucket
+        # ids; unbounded only when the caller explicitly disabled the cap)
+        # and explode ordered pairs map-side — same grouped idiom as
+        # ngram_jaccard_pairs, reusing the window's (band,bucket)
+        # partitioning instead of a second self-join shuffle + sort
+        grouped = banded.groupBy("band", "bucket").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("docs")
+        )
         pairs = (
-            left.join(right, ["band", "bucket"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
+            grouped.select(F.explode(ordered_pairs("docs")).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .distinct()
         )
         return cut_lineage(pairs)
