@@ -94,7 +94,14 @@ def emit_triples(
     # combine before the exchange) and the entity frame collapses to
     # lexicon size, so the expensive wide dedup only handles the dups that
     # canonicalization itself creates.
-    doc_ents = links.select("doc_id", "entity_id").distinct()
+    # one shuffle serves both the mentions branch and co-occurrence: group
+    # per doc (collect_set dedups inside the aggregation buffer — bounded by
+    # the lexicon-sized entity universe, not corpus size), then re-derive
+    # the distinct (doc, entity) rows MAP-SIDE by exploding the grouped sets
+    grouped = links.select("doc_id", "entity_id").groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("entity_id")).alias("ents")
+    )
+    doc_ents = grouped.select("doc_id", F.explode("ents").alias("entity_id"))
     parts.append(_triple(doc_ents, doc_iri, EX + "mentions", _iri_cols(ent_iri)))
 
     ents = links.select("entity_id", "surface").distinct()
@@ -123,12 +130,9 @@ def emit_triples(
         )
     )
 
-    # co-occurrence: grouped per doc (collect_set dedups within the group),
-    # pairs exploded map-side from the set, global dedup via partial-agg
-    # distinct (hot pairs combine map-side before the shuffle)
-    grouped = doc_ents.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("entity_id")).alias("ents")
-    )
+    # co-occurrence: pairs exploded map-side from the grouped sets above,
+    # global dedup via partial-agg distinct (hot pairs combine map-side
+    # before the shuffle)
     pairs = grouped.select(
         "doc_id", F.explode(ordered_pairs("ents", "ea", "eb")).alias("pair")
     ).select(F.col("pair.ea").alias("ea"), F.col("pair.eb").alias("eb")).distinct()
