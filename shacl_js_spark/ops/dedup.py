@@ -94,18 +94,34 @@ def _bounded_groups(ids: DataFrame, group_col: str, max_exemplars: int) -> DataF
 
 def exact_dedup_groups(df: DataFrame, key, max_exemplars: int = 100) -> DataFrame:
     """Groups of documents sharing a normalization key (md5 hash-groupBy).
-    `key` is a Column producing the normalized text.  doc_ids holds at most
-    `max_exemplars` exemplar members; n_docs/min_doc/max_doc are exact."""
+    `key` is a Column producing the normalized text.
+
+    TRUNCATION: `doc_ids` is a LOSSY exemplar list capped at `max_exemplars`
+    members (default 100) — do not treat it as full group membership.
+    n_docs/min_doc/max_doc are exact over ALL members; a caller that needs
+    every member should join docs back on the dup_key instead."""
     ids = df.select("doc_id", F.md5(key).alias("dup_key"))
     return _bounded_groups(ids, "dup_key", max_exemplars)
 
 
 # --- minhash + LSH ----------------------------------------------------------
 
-def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES, shingle_n: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = N_HASHES,
+    shingle_n: int = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
     """-> (doc_id, mh_0..mh_{n-1}) via n universal-hash permutations of the
-    shingle md5 hashes; min aggregated per doc (map-side partial agg)."""
-    sh = shingles(df, shingle_n).withColumn("h", md5_int(F.col("shingle")))
+    shingle md5 hashes; min aggregated per doc (map-side partial agg).
+
+    `shingles_df` lets a caller share one (doc_id, shingle) frame between
+    the signature stage and a downstream exact-jaccard verify — the shingle
+    explosion is the most expensive scan of the dedup path, so at corpus
+    scale it must be computed (and usually persisted) once, not per stage."""
+    sh = (shingles(df, shingle_n) if shingles_df is None else shingles_df).withColumn(
+        "h", md5_int(F.col("shingle"))
+    )
     aggs = []
     for i in range(n_hashes):
         a, b = hash_params(i)
@@ -143,8 +159,12 @@ def lsh_candidate_pairs(
     max_bucket: int | None = MAX_LSH_BUCKET,
     log_dropped: bool = True,
 ) -> DataFrame:
-    """Band the signature; docs colliding in any band become candidate pairs
-    (a < b, distinct).  The band bucket join is the only shuffle.
+    """EAGER (runs a Spark job at call time, not at first action): bands the
+    signature; docs colliding in any band become candidate pairs (a < b,
+    distinct).  The band bucket join is the only shuffle.  The lineage cut
+    pins a (local)checkpoint per call until GC — callers that loop should
+    enable spark.cleaner.referenceTracking.cleanCheckpoints (the session
+    builders in bench.py / scripts/ already do).
 
     Skew guard: buckets with more than `max_bucket` members are dropped from
     pair generation (mirrors ngram_jaccard_pairs' max_df cap) — a single
@@ -213,26 +233,37 @@ def lsh_candidate_pairs(
 
 
 def minhash_jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_n: int = 3) -> DataFrame:
-    """LSH candidates verified with exact shingle jaccard."""
-    sigs = minhash_signatures(df, shingle_n=shingle_n)
-    cands = lsh_candidate_pairs(sigs)
-    sh = shingles(df, shingle_n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # count shared shingles via join on shingle, restricted to LSH candidates
-    a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
-    shared = (
-        cands.join(a_sh, "a").join(b_sh, ["b", "shingle"])
-        .groupBy("a", "b").agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
-    return (
-        shared.join(na, "a").join(nb, "b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    """EAGER (materializes via lineage cut before returning): LSH candidates
+    verified with exact shingle jaccard.
+
+    The (doc_id, shingle) frame is built and persisted ONCE and shared by
+    the signature stage and the verify stage — previously each stage
+    re-exploded the corpus, doubling the most expensive scan of the dedup
+    path.  Eager materialization lets the shared cache be released before
+    return instead of leaking for the session's life."""
+    sh = shingles(df, shingle_n).persist()
+    try:
+        sigs = minhash_signatures(df, shingle_n=shingle_n, shingles_df=sh)
+        cands = lsh_candidate_pairs(sigs)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        # count shared shingles via join on shingle, restricted to LSH candidates
+        a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
+        shared = (
+            cands.join(a_sh, "a").join(b_sh, ["b", "shingle"])
+            .groupBy("a", "b").agg(F.count("*").alias("inter"))
+        )
+        na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+        verified = (
+            shared.join(na, "a").join(nb, "b")
+            .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+        return cut_lineage(verified)
+    finally:
+        sh.unpersist()
 
 
 # --- simhash -----------------------------------------------------------------
@@ -255,7 +286,8 @@ def simhash(df: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_dup_groups(df: DataFrame, bits: int = 16, max_exemplars: int = 100) -> DataFrame:
-    """Exact-simhash collision groups; doc_ids capped like exact_dedup_groups."""
+    """Exact-simhash collision groups; doc_ids is a LOSSY exemplar list
+    capped at `max_exemplars` (see exact_dedup_groups — counts stay exact)."""
     return _bounded_groups(simhash(df, bits), "simhash", max_exemplars)
 
 

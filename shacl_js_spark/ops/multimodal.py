@@ -164,12 +164,11 @@ def decode_video(payload: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
-def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
-    """Seek ONE frame by timestamp -> float32 (h, w, 3); clamps to the last
-    frame (real pipelines sample sparse timestamps, never the whole clip).
-    Walks the FRAME markers (they may carry parameter bytes per the y4m
-    spec, so a fixed stride would land mid-plane) but materializes only the
-    target frame."""
+def _frame_index(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """-> (width, height, fps, frame data offsets).  Walks the FRAME markers
+    (they may carry parameter bytes per the y4m spec, so a fixed stride
+    would land mid-plane) without materializing any pixel data — an O(n
+    frames) byte scan, not a decode."""
     w, h, fps, pos = _y4m_header(payload)
     frame_bytes = w * h * 3
     marker = b"FRAME"
@@ -180,9 +179,38 @@ def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
         data_start = payload.index(b"\n", pos) + 1
         starts.append(data_start)
         pos = data_start + frame_bytes
-    idx = min(ts_ms * fps // 1000, len(starts) - 1)
-    raw = np.frombuffer(payload[starts[idx] : starts[idx] + frame_bytes], dtype=np.uint8)
+    return w, h, fps, starts
+
+
+def _decode_frame_at(payload: bytes, w: int, h: int, start: int) -> np.ndarray:
+    raw = np.frombuffer(payload[start : start + w * h * 3], dtype=np.uint8)
     return raw.astype(np.float32).reshape(3, h, w).transpose(1, 2, 0)
+
+
+def decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+    """Seek ONE frame by timestamp -> float32 (h, w, 3); clamps to the last
+    frame (real pipelines sample sparse timestamps, never the whole clip).
+    Materializes only the target frame."""
+    w, h, fps, starts = _frame_index(payload)
+    idx = min(ts_ms * fps // 1000, len(starts) - 1)
+    return _decode_frame_at(payload, w, h, starts[idx])
+
+
+N_FEATURE_FRAMES = 4  # frames sampled per clip for feature extraction
+
+
+def sampled_video_signal(payload: bytes, k: int = N_FEATURE_FRAMES) -> np.ndarray:
+    """Concatenated pixel signal of k evenly-spaced frames (first and last
+    always included).  Feature extraction uses THIS, never the whole clip:
+    a real media corpus has minutes-long clips, and whole-clip decode per
+    row would dominate the stage — O(k) frames decoded per clip keeps the
+    mapInPandas stage's cost independent of clip length."""
+    w, h, _fps, starts = _frame_index(payload)
+    n = len(starts)
+    idxs = sorted({round(i * (n - 1) / (k - 1)) for i in range(k)}) if k > 1 and n > 1 else [0]
+    return np.concatenate(
+        [_decode_frame_at(payload, w, h, starts[i]).ravel() for i in idxs]
+    )
 
 
 def synth_media_table(docs_spans: DataFrame) -> DataFrame:
@@ -227,12 +255,15 @@ def synth_media_table(docs_spans: DataFrame) -> DataFrame:
 
 
 def decode(payload: bytes, kind: str) -> np.ndarray:
+    """Feature-extraction signal per media kind.  Video decodes only
+    N_FEATURE_FRAMES sampled frames (never the whole clip — see
+    sampled_video_signal); use decode_video for a full-clip tensor."""
     if kind == "image":
         return decode_image(payload).ravel()
     if kind == "audio":
         return decode_audio(payload)
     if kind == "video":
-        return decode_video(payload).ravel()
+        return sampled_video_signal(payload)
     raise NotImplementedError(f"decode for kind={kind!r} not implemented")
 
 

@@ -80,7 +80,16 @@ class IncrementalValidator:
         dir whose `bucket=K` is missing means the crash hit between the
         rename-aside and the move-in — restore the old data (the replayed
         batch will re-upsert it); if `bucket=K` exists the swap completed,
-        drop the leftover."""
+        drop the leftover.  Also drops orphaned `<report_dir>.staging-*`
+        siblings: a crash between the staged write and the swaps leaves a
+        dead staging dir, and a repeatedly-crashing stream would otherwise
+        accumulate them indefinitely (the replayed batch rebuilds its own
+        staging dir from scratch, so deleting is always safe)."""
+        parent, base = os.path.split(os.path.abspath(self.report_dir))
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                if entry.startswith(base + ".staging-"):
+                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         if not os.path.isdir(self.report_dir):
             return
         for entry in os.listdir(self.report_dir):

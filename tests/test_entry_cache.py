@@ -28,11 +28,17 @@ def test_cached_input_shares_one_frame(spark):
     assert a.is_cached
 
 
-def test_cached_input_keyed_by_sf_dir(spark):
+def test_cached_input_keyed_by_sf_dir_and_evicts_other_dirs(spark):
     entry._INPUT_CACHE.clear()
     a = entry._cached_input("t_key", spark, "/dir/a", lambda: spark.range(1).toDF("x"))
+    assert a.is_cached
     b = entry._cached_input("t_key", spark, "/dir/b", lambda: spark.range(2).toDF("x"))
     assert a is not b
+    # switching sf_dir evicted (and unpersisted) the old dir's entries: a
+    # long-lived session iterating sf_dirs holds ONE sf_dir's frames
+    assert list(entry._INPUT_CACHE) == [("t_key", "/dir/b")]
+    assert not a.is_cached
+    assert b.is_cached
 
 
 def test_cached_input_rejects_foreign_session(spark):
@@ -44,12 +50,12 @@ def test_cached_input_rejects_foreign_session(spark):
     class NotTheSession:
         pass
 
-    entry._INPUT_CACHE["t_foreign:/dir"] = (NotTheSession(), df)
+    entry._INPUT_CACHE[("t_foreign", "/dir")] = (NotTheSession(), df)
     out = entry._cached_input("t_foreign", spark, "/dir", lambda: spark.range(4).toDF("x"))
     assert out is not df
     assert out.count() == 4
     # and the stale entry was replaced
-    assert entry._INPUT_CACHE["t_foreign:/dir"][0] is spark
+    assert entry._INPUT_CACHE[("t_foreign", "/dir")][0] is spark
 
 
 def test_shacl_queries_share_customer_graph(spark):
@@ -59,7 +65,7 @@ def test_shacl_queries_share_customer_graph(spark):
     n1 = qs["shacl_mincount"](spark, SF).count()
     cached_after_first = dict(entry._INPUT_CACHE)
     n2 = qs["shacl_maxcount"](spark, SF).count()
-    key = f"customer_triples:{SF}"
+    key = ("customer_triples", SF)
     assert key in cached_after_first
     # second query did not replace the entry (same object served)
     assert entry._INPUT_CACHE[key][1] is cached_after_first[key][1]

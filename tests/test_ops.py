@@ -170,6 +170,19 @@ def test_media_codecs_roundtrip():
     assert np.array_equal(decode_video_frame(vid_params, 10_000), clip[-1])
     assert np.array_equal(decode_video(vid_params)[1], clip[1])
 
+    # feature extraction decodes O(k) SAMPLED frames, never the whole clip
+    from shacl_js_spark.ops.multimodal import decode, sampled_video_signal
+
+    long_vid = encode_y4m("media://x/4", width=8, height=6, duration_ms=4000, fps=25)
+    sig = sampled_video_signal(long_vid, k=4)
+    assert len(sig) == 4 * 6 * 8 * 3  # 4 frames of a 100-frame clip
+    long_clip = decode_video(long_vid)
+    assert np.array_equal(sig[: 6 * 8 * 3], long_clip[0].ravel())   # first
+    assert np.array_equal(sig[-6 * 8 * 3 :], long_clip[-1].ravel())  # last
+    assert np.array_equal(decode(long_vid, "video"), sig)
+    # short clip (fewer frames than k): every frame once, no repeats
+    assert len(sampled_video_signal(vid, k=4)) == 3 * 6 * 8 * 3
+
 
 def test_multimodal_plumbing(spark):
     from shacl_js_spark.ops.multimodal import (

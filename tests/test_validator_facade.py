@@ -250,3 +250,106 @@ def test_jsonld_reverse_rejects_literals(spark):
     bad = '{"@context":{"ex":"http://e/"},"@id":"ex:a","@reverse":{"ex:p":"a literal"}}'
     with pytest.raises(JsonLdError, match="invalid reverse property value"):
         parse_jsonld(bad)
+
+
+NEST_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://e/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:street ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:zip ; sh:datatype <http://www.w3.org/2001/XMLSchema#string> ] .
+"""
+
+NEST_TTL = """
+@prefix ex: <http://e/> .
+ex:p1 a ex:Person ; ex:street "Main St" ; ex:zip "94105" .
+ex:p2 a ex:Person ; ex:zip 12345 .
+"""
+
+# same content with the address properties grouped under @nest (keyword form
+# for p1, term-aliased form for p2) — members belong to the enclosing node
+NEST_JSONLD = """
+{
+  "@context": {"@vocab": "http://e/", "ex": "http://e/",
+               "address": "@nest"},
+  "@graph": [
+    {"@id": "ex:p1", "@type": "Person",
+     "@nest": {"street": "Main St", "zip": "94105"}},
+    {"@id": "ex:p2", "@type": "Person",
+     "address": {"zip": 12345}}
+  ]
+}
+"""
+
+
+def test_jsonld_nest_matches_turtle_twin(spark):
+    # @nest groups are syntactic only: the nested street/zip land on the
+    # person nodes, so validation verdicts equal the flat Turtle twin
+    # (p2: street minCount + integer zip datatype violations)
+    got_ttl = SHACLValidator(spark).validate(NEST_TTL, "text/turtle", NEST_SHAPES)
+    got_ld = SHACLValidator(spark).validate(NEST_JSONLD, "application/ld+json", NEST_SHAPES)
+
+    def sig(report):
+        return sorted(
+            (r.focusNode(), r.sourceConstraintComponent()) for r in report.results()
+        )
+
+    assert sig(got_ttl) == sig(got_ld)
+    assert {f for f, _c in sig(got_ld)} == {"http://e/p2"}
+    assert len(sig(got_ld)) == 2
+
+
+def test_jsonld_nest_rejects_id(spark):
+    import pytest
+
+    from shacl_js_spark.jsonld import JsonLdError, parse_jsonld
+
+    bad = '{"@context":{"ex":"http://e/"},"@id":"ex:a","@nest":{"@id":"ex:b","ex:p":1}}'
+    with pytest.raises(JsonLdError, match="@nest"):
+        parse_jsonld(bad)
+
+
+def test_jsonld_graph_containers_flatten_to_data_graph(spark):
+    # named-graph node objects and @container:@graph: contents validate as
+    # data-graph triples (reference loads all quads into one graph URI);
+    # the graph container also emits the (subj, pred, graph-name) link
+    from shacl_js_spark.jsonld import parse_jsonld
+
+    doc = """
+    {
+      "@context": {"@vocab": "http://e/",
+                   "claims": {"@id": "http://e/claims", "@container": "@graph"}},
+      "@id": "http://e/dataset",
+      "claims": {"@id": "http://e/s1", "p": "v1"},
+      "@graph": [{"@id": "http://e/inner", "q": "v2"}]
+    }
+    """
+    trips, _ = parse_jsonld(doc)
+    flat = {(s.value, p.value, o.value if o.kind == "literal" else o.value)
+            for (s, p, o) in trips}
+    assert ("http://e/s1", "http://e/p", "v1") in flat
+    assert ("http://e/inner", "http://e/q", "v2") in flat
+    links = [(s, p, o) for (s, p, o) in trips
+             if p.value == "http://e/claims" and s.value == "http://e/dataset"]
+    assert len(links) == 1 and links[0][2].kind == "bnode"
+
+
+def test_jsonld_vocab_never_applies_to_id(spark):
+    # @id positions resolve against @base, not @vocab: a relative @id must
+    # NOT be vocab-expanded (it passes through unchanged), while @type and
+    # property terms still vocab-expand
+    from shacl_js_spark.jsonld import parse_jsonld
+
+    doc = """
+    {
+      "@context": {"@vocab": "http://v/"},
+      "@id": "rel-subject",
+      "@type": "Thing",
+      "knows": {"@id": "rel-object"}
+    }
+    """
+    trips, _ = parse_jsonld(doc)
+    by_pred = {p.value: (s.value, o.value) for (s, p, o) in trips}
+    assert by_pred["http://v/knows"] == ("rel-subject", "rel-object")
+    s, o = by_pred["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+    assert (s, o) == ("rel-subject", "http://v/Thing")
