@@ -1155,6 +1155,36 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_pq(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
 
 
+# --- multimodal (binary media columns; ops/multimodal.py) ----------------------
+
+def q_media_meta(spark, sf_dir):
+    """Typed metadata of every media span — pure Column plan (no Python);
+    the oracle recomputes the span interleaving + md5 metadata arithmetic."""
+    from shacl_js_spark.ops.multimodal import media_metadata
+
+    return media_metadata(_docs(spark, sf_dir)).select(
+        "media_ref", "kind",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """REAL encode -> Arrow mapInPandas decode/feature path: n_bytes is the
+    byte length of the actually-encoded PPM/WAV/Y4M payload, which the
+    oracle independently derives from the metadata (container header
+    arithmetic) — a full value-hash proof that the binary plumbing ran."""
+    from shacl_js_spark.ops.multimodal import extract_features, synth_media_table
+
+    feats = extract_features(synth_media_table(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_ref", "kind",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.size("feature").cast("bigint").alias("n_dims"),
+    )
+
+
 # --- curation (PII / repetition / contamination / packing) ---------------------
 
 def _pii_decorated(docs):
@@ -1461,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        # multimodal binary columns
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
         # curation (PII / repetition / contamination / packing)
         "cur_pii": q_cur_pii,
         "cur_repetition": q_cur_repetition,
@@ -2191,6 +2224,71 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5
             FROM documents
+        """,
+        # span interleaving (synth.py): n_spans 8-token windows, one media
+        # span after every 2 text spans; kind + metadata from md5-prefix
+        # hashes — fully recomputable here
+        "media_meta": f"""
+            WITH m AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc,
+                     CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans
+              FROM documents),
+            media AS (
+              SELECT doc, CAST(j AS INT) AS j
+              FROM m, unnest(range(1, n_spans // 2 + 1)) AS r(j)),
+            meta AS (
+              SELECT 'media://' || doc || '/' || CAST(j AS VARCHAR) AS media_ref,
+                     (['image','audio','video'])[
+                       CAST({_MD5INT.format(x="doc || '/' || CAST(j AS VARCHAR)")} % 3 AS INT) + 1
+                     ] AS kind,
+                     {_MD5INT.format(x="'media://' || doc || '/' || CAST(j AS VARCHAR)")} AS h
+              FROM media)
+            SELECT media_ref, kind,
+                   CAST(h % 48 + 16 AS BIGINT) AS width,
+                   CAST(h % 27 + 9 AS BIGINT) AS height,
+                   CAST(h % 160 + 40 AS BIGINT) AS duration_ms
+            FROM meta
+        """,
+        # payload byte counts derived from the container formats the encode
+        # stage writes: P6 PPM header + RGB plane; canonical 44-byte WAV
+        # header + PCM16 mono at 8kHz; Y4M stream header + FRAME-delimited
+        # C444 planes at 25fps.  Matching n_bytes proves the Arrow stage
+        # really encoded+decoded those bytes.
+        "media_features": f"""
+            WITH m AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc,
+                     CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans
+              FROM documents),
+            media AS (
+              SELECT doc, CAST(j AS INT) AS j
+              FROM m, unnest(range(1, n_spans // 2 + 1)) AS r(j)),
+            meta AS (
+              SELECT 'media://' || doc || '/' || CAST(j AS VARCHAR) AS media_ref,
+                     (['image','audio','video'])[
+                       CAST({_MD5INT.format(x="doc || '/' || CAST(j AS VARCHAR)")} % 3 AS INT) + 1
+                     ] AS kind,
+                     {_MD5INT.format(x="'media://' || doc || '/' || CAST(j AS VARCHAR)")} AS h
+              FROM media),
+            sized AS (
+              SELECT media_ref, kind,
+                     CAST(h % 48 + 16 AS INT) AS w,
+                     CAST(h % 27 + 9 AS INT) AS hh,
+                     CAST(h % 160 + 40 AS INT) AS ms
+              FROM meta)
+            SELECT media_ref, kind,
+                   CAST(CASE kind
+                     WHEN 'image' THEN
+                       length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+                              CAST(hh AS VARCHAR) || chr(10) || '255' || chr(10))
+                       + w * hh * 3
+                     WHEN 'audio' THEN 44 + greatest(1, (8000 * ms) // 1000) * 2
+                     ELSE
+                       length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H' ||
+                              CAST(hh AS VARCHAR) || ' F25:1 Ip A1:1 C444') + 1
+                       + greatest(1, (ms * 25) // 1000) * (6 + w * hh * 3)
+                   END AS BIGINT) AS n_bytes,
+                   CAST(8 AS BIGINT) AS n_dims
+            FROM sized
         """,
         "cur_pii": _cur_pii_sql(),
         "cur_repetition": """

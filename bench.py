@@ -65,7 +65,7 @@ def kg_pipeline_triples(spark, sf_dir: str, replicate: int = 1) -> int:
     if replicate > 1:
         rep = spark.range(replicate).select(F.col("id").alias("rep"))
         raw_docs = raw_docs.crossJoin(rep).select(
-            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
             "text", "lang", "source", "n_chars",
         )
     # persist at the fan-out points: docs feeds extract + emit (meta/media

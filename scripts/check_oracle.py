@@ -5,6 +5,7 @@ row count + schema (column names) + order-insensitive value hash."""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -56,11 +57,17 @@ def table_hash(cols, rows):
 
 
 def main(sf_dir: str, only: list[str]):
+    # defaults sized for the driver's sf0.01 gate; the sf1 scale-stress run
+    # needs more cores/heap/shuffle width (OOMed at the 1g default heap) —
+    # override via env rather than fork the script
+    cpus = int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "8"))
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_ORACLE_SHUFFLE", str(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -89,7 +89,7 @@ def main() -> None:
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
     rep = spark.range(REP).select(F.col("id").alias("rep"))
     big = raw_docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
     docs = raw_to_interleaved(big).persist()

@@ -86,7 +86,7 @@ def run_pipeline(cpus: str) -> dict:
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
     rep = spark.range(REPLICATE).select(F.col("id").alias("rep"))
     big = raw_docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
     t0 = time.time()

@@ -213,11 +213,13 @@ def sampled_video_signal(payload: bytes, k: int = N_FEATURE_FRAMES) -> np.ndarra
     )
 
 
-def synth_media_table(docs_spans: DataFrame) -> DataFrame:
-    """Build the binary media table from the interleaved documents' media
-    spans.  Image/audio payloads are REAL encoded files (PPM / WAV) built in
-    an Arrow-batched mapInPandas stage; video payloads stay opaque bytes.
-    Real ingestion would read object-store blobs instead."""
+def media_metadata(docs_spans: DataFrame) -> DataFrame:
+    """Typed metadata for every distinct media span — PURE Column ops (the
+    metadata path never touches Python; only the payload encode/decode
+    stages do).  The md5-prefix hash (not xxhash64) keeps the metadata
+    recomputable by the DuckDB oracle, like the span-kind hash in synth."""
+    from .dedup import md5_int
+
     media = (
         docs_spans.select(F.explode("spans").alias("span"))
         .filter(F.col("span.kind") != "text")
@@ -227,14 +229,22 @@ def synth_media_table(docs_spans: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    h = F.abs(F.xxhash64("media_ref"))
-    meta = media.select(
+    h = md5_int(F.col("media_ref"))
+    return media.select(
         "media_ref",
         "kind",
         (F.pmod(h, F.lit(48)) + 16).cast("int").alias("width"),
         (F.pmod(h, F.lit(27)) + 9).cast("int").alias("height"),
         (F.pmod(h, F.lit(160)) + 40).cast("int").alias("duration_ms"),
     )
+
+
+def synth_media_table(docs_spans: DataFrame) -> DataFrame:
+    """Build the binary media table from the interleaved documents' media
+    spans.  All three payload kinds are REAL encoded files (PPM / WAV /
+    Y4M) built in an Arrow-batched mapInPandas stage.  Real ingestion would
+    read object-store blobs instead."""
+    meta = media_metadata(docs_spans)
 
     def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

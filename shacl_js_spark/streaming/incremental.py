@@ -148,6 +148,7 @@ class IncrementalValidator:
             v = engine.shape_violations(shape, targets).select(*VIOL_COLS)
             out = v if out is None else out.unionByName(v)
         if out is None:
+            engine.release()
             return
         new_rows = (
             out.withColumn("_batch", F.lit(batch_id))
@@ -171,6 +172,7 @@ class IncrementalValidator:
         if not affected:  # batch touched no target of any shape
             new_rows.unpersist()
             reval.unpersist()
+            engine.release()
             return
 
         # upsert only the affected buckets: read them (partition-pruned),
@@ -215,6 +217,9 @@ class IncrementalValidator:
         shutil.rmtree(staging, ignore_errors=True)
         new_rows.unpersist()
         reval.unpersist()
+        # one engine per batch: release its memoized target/value frames
+        # eagerly instead of waiting for the context cleaner
+        engine.release()
 
     # -- stream wiring ---------------------------------------------------
     def start(self, stream_df: DataFrame, checkpoint_dir: str, trigger_available_now: bool = True):
