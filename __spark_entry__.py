@@ -1543,6 +1543,25 @@ _TOKENS_SQL = (
 
 _MD5INT = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
+# span-interleaving arithmetic shared by the media_meta / media_features
+# oracles — the part that must stay in lockstep with synth.py's
+# TOKENS_PER_SPAN=8 / MEDIA_EVERY=2 and multimodal.media_metadata's hash,
+# defined once so the two SQL strings cannot drift
+_MEDIA_META_CTE = f"""m AS (
+              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc,
+                     CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans
+              FROM documents),
+            media AS (
+              SELECT doc, CAST(j AS INT) AS j
+              FROM m, unnest(range(1, n_spans // 2 + 1)) AS r(j)),
+            meta AS (
+              SELECT 'media://' || doc || '/' || CAST(j AS VARCHAR) AS media_ref,
+                     (['image','audio','video'])[
+                       CAST({_MD5INT.format(x="doc || '/' || CAST(j AS VARCHAR)")} % 3 AS INT) + 1
+                     ] AS kind,
+                     {_MD5INT.format(x="'media://' || doc || '/' || CAST(j AS VARCHAR)")} AS h
+              FROM media)"""
+
 
 def _shingles_sql() -> str:
     # range end mirrors shingles()'s clamped sequence: docs shorter than 3
@@ -2227,22 +2246,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # span interleaving (synth.py): n_spans 8-token windows, one media
         # span after every 2 text spans; kind + metadata from md5-prefix
-        # hashes — fully recomputable here
+        # hashes — fully recomputable here (shared CTE: _MEDIA_META_CTE)
         "media_meta": f"""
-            WITH m AS (
-              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc,
-                     CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans
-              FROM documents),
-            media AS (
-              SELECT doc, CAST(j AS INT) AS j
-              FROM m, unnest(range(1, n_spans // 2 + 1)) AS r(j)),
-            meta AS (
-              SELECT 'media://' || doc || '/' || CAST(j AS VARCHAR) AS media_ref,
-                     (['image','audio','video'])[
-                       CAST({_MD5INT.format(x="doc || '/' || CAST(j AS VARCHAR)")} % 3 AS INT) + 1
-                     ] AS kind,
-                     {_MD5INT.format(x="'media://' || doc || '/' || CAST(j AS VARCHAR)")} AS h
-              FROM media)
+            WITH {_MEDIA_META_CTE}
             SELECT media_ref, kind,
                    CAST(h % 48 + 16 AS BIGINT) AS width,
                    CAST(h % 27 + 9 AS BIGINT) AS height,
@@ -2255,20 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         # C444 planes at 25fps.  Matching n_bytes proves the Arrow stage
         # really encoded+decoded those bytes.
         "media_features": f"""
-            WITH m AS (
-              SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc,
-                     CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS n_spans
-              FROM documents),
-            media AS (
-              SELECT doc, CAST(j AS INT) AS j
-              FROM m, unnest(range(1, n_spans // 2 + 1)) AS r(j)),
-            meta AS (
-              SELECT 'media://' || doc || '/' || CAST(j AS VARCHAR) AS media_ref,
-                     (['image','audio','video'])[
-                       CAST({_MD5INT.format(x="doc || '/' || CAST(j AS VARCHAR)")} % 3 AS INT) + 1
-                     ] AS kind,
-                     {_MD5INT.format(x="'media://' || doc || '/' || CAST(j AS VARCHAR)")} AS h
-              FROM media),
+            WITH {_MEDIA_META_CTE},
             sized AS (
               SELECT media_ref, kind,
                      CAST(h % 48 + 16 AS INT) AS w,

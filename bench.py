@@ -60,14 +60,11 @@ def kg_pipeline_triples(spark, sf_dir: str, replicate: int = 1) -> int:
     # per core minimum, growing with input size (a 100 TB corpus would get
     # size/maxPartitionBytes splits from the scan itself; the explicit
     # repartition only matters when the source arrives under-split)
+    from shacl_js_spark.pipeline.synth import replicate_docs
+
     par = spark.sparkContext.defaultParallelism
     raw_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
-    if replicate > 1:
-        rep = spark.range(replicate).select(F.col("id").alias("rep"))
-        raw_docs = raw_docs.crossJoin(rep).select(
-            (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
-            "text", "lang", "source", "n_chars",
-        )
+    raw_docs = replicate_docs(spark, raw_docs, replicate)
     # persist at the fan-out points: docs feeds extract + emit (meta/media
     # branches), links feeds 4 emit branches — without this the link stage
     # re-executes once per union branch

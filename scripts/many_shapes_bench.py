@@ -87,11 +87,9 @@ def main() -> None:
     from shacl_js_spark.validation import Engine
 
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
-    rep = spark.range(REP).select(F.col("id").alias("rep"))
-    big = raw_docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
-    )
+    from shacl_js_spark.pipeline.synth import replicate_docs
+
+    big = replicate_docs(spark, raw_docs, REP)
     docs = raw_to_interleaved(big).persist()
     links = link_entities(spark, extract_mentions(spark, docs)).persist()
     triples = canonicalize_triples(
@@ -108,6 +106,9 @@ def main() -> None:
         t0 = time.time()
         n_viol = engine.report_df().count()
         wall = time.time() - t0
+        # free this engine's memoized target/value frames before the next
+        # shape count runs, so earlier engines' caches can't distort it
+        engine.release()
         out["by_shape_count"][n_shapes] = {
             "wall_sec": round(wall, 2), "violations": n_viol,
             "sec_per_shape": round(wall / n_shapes, 3),

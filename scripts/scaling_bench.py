@@ -83,12 +83,10 @@ def run_pipeline(cpus: str) -> dict:
 
     # repartition BEFORE the crossJoin expansion (the file has 1-2 partitions;
     # expanding there is a serial section)
+    from shacl_js_spark.pipeline.synth import replicate_docs
+
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
-    rep = spark.range(REPLICATE).select(F.col("id").alias("rep"))
-    big = raw_docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
-    )
+    big = replicate_docs(spark, raw_docs, REPLICATE)
     t0 = time.time()
     docs = raw_to_interleaved(big).persist()
     mentions = extract_mentions(spark, docs)

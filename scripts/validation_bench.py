@@ -48,11 +48,9 @@ def main() -> None:
     from shacl_js_spark.validation import Engine
 
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
-    rep = spark.range(REP).select(F.col("id").alias("rep"))
-    big = raw_docs.crossJoin(rep).select(
-        (F.col("doc_id") + F.col("rep") * 1_000_000_000).alias("doc_id"),
-        "text", "lang", "source", "n_chars",
-    )
+    from shacl_js_spark.pipeline.synth import replicate_docs
+
+    big = replicate_docs(spark, raw_docs, REP)
     docs = raw_to_interleaved(big).persist()
     links = link_entities(spark, extract_mentions(spark, docs)).persist()
     triples = canonicalize_triples(

@@ -127,7 +127,12 @@ class _Parser:
             # colon-containing values are IRIs in some other scheme
             # (mailto:, did:, ...): JSON-LD never vocab-expands those
             return key
-        if key in self.ctx:
+        # plain (no-colon) term definitions are consulted only in vocab
+        # position (JSON-LD IRI expansion gates the term-definition branch
+        # on vocab=true; compact prefix:suffix IRIs expand regardless) — an
+        # @id that merely collides with a context term name must NOT be
+        # rewritten to that term's IRI
+        if vocab and key in self.ctx:
             return self._expand(self.ctx[key]["id"], _depth + 1)
         if vocab and self.vocab and not key.startswith("@"):
             return self.vocab + key

@@ -55,6 +55,26 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_to_interleaved(raw)
 
 
+# above any doc_id the scale-up generator emits (scripts/gen_sf.py replicas
+# occupy k * 1e7, k < 100), so bench replication of an already-replicated
+# corpus can never collide ids
+REPLICATE_OFFSET = 1_000_000_000
+
+
+def replicate_docs(spark: SparkSession, raw_docs: DataFrame, replicate: int) -> DataFrame:
+    """Deterministically expand a raw documents frame `replicate`-fold with
+    collision-free doc_ids — the ONE definition of the bench/scaling corpus
+    expansion (four scripts previously copy-pasted it; a missed edit in one
+    silently reintroduces id collisions that deflate dedup pair counts)."""
+    if replicate <= 1:
+        return raw_docs
+    rep = spark.range(replicate).select(F.col("id").alias("rep"))
+    return raw_docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * REPLICATE_OFFSET).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+
+
 def raw_to_interleaved(raw: DataFrame) -> DataFrame:
     """Span layout is constructed positionally (T T M T T M ... for
     MEDIA_EVERY=2): output index k holds a media span when (k+1) % 3 == 0

@@ -75,21 +75,27 @@ class IncrementalValidator:
         # Murmur3 with Spark's fixed seed: stable across batches and runs
         return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
 
-    def _recover_buckets(self) -> None:
+    def _recover_buckets(self, sweep_staging: bool = False) -> None:
         """Finish any bucket swap interrupted by a crash: a `bucket=K.old`
         dir whose `bucket=K` is missing means the crash hit between the
         rename-aside and the move-in — restore the old data (the replayed
         batch will re-upsert it); if `bucket=K` exists the swap completed,
-        drop the leftover.  Also drops orphaned `<report_dir>.staging-*`
-        siblings: a crash between the staged write and the swaps leaves a
-        dead staging dir, and a repeatedly-crashing stream would otherwise
-        accumulate them indefinitely (the replayed batch rebuilds its own
-        staging dir from scratch, so deleting is always safe)."""
-        parent, base = os.path.split(os.path.abspath(self.report_dir))
-        if os.path.isdir(parent):
-            for entry in os.listdir(parent):
-                if entry.startswith(base + ".staging-"):
-                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        drop the leftover.
+
+        `sweep_staging` additionally drops orphaned `<report_dir>.staging-*`
+        siblings left by a crash between the staged write and the swaps (a
+        repeatedly-crashing stream would otherwise accumulate them).  ONLY
+        the batch-start recovery path may sweep: batches run serially per
+        stream, so at batch start no staging dir can be live — whereas
+        report() may be called concurrently with an in-flight batch, and
+        sweeping there would delete that batch's staging dir mid-swap and
+        lose its buckets."""
+        if sweep_staging:
+            parent, base = os.path.split(os.path.abspath(self.report_dir))
+            if os.path.isdir(parent):
+                for entry in os.listdir(parent):
+                    if entry.startswith(base + ".staging-"):
+                        shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         if not os.path.isdir(self.report_dir):
             return
         for entry in os.listdir(self.report_dir):
@@ -104,7 +110,7 @@ class IncrementalValidator:
 
     # -- the foreachBatch callback -------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        self._recover_buckets()
+        self._recover_buckets(sweep_staging=True)
         batch_df.write.mode("append").parquet(self.graph_dir)
         # RDF set semantics over the accumulated graph: replayed batches
         # (at-least-once delivery) re-append the same triples; without the

@@ -225,6 +225,7 @@ class Engine:
         # shapes target the same classes and walk the same paths — compute
         # each distinct target frame and (focus, path) value frame once
         self._targets_cache: dict[tuple, DataFrame] = {}
+        self._cached_target_ids: dict[int, DataFrame] = {}  # id -> frame (identity index)
         self._values_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
     def release(self) -> None:
@@ -238,6 +239,7 @@ class Engine:
         for _focus, df in self._values_cache.values():
             df.unpersist()
         self._targets_cache.clear()
+        self._cached_target_ids.clear()
         self._values_cache.clear()
 
     # ------------------------------------------------------------------ data
@@ -347,6 +349,7 @@ class Engine:
         if self.persist_values:
             out = out.persist()
         self._targets_cache[key] = out
+        self._cached_target_ids[id(out)] = out
         return out
 
     def _targets_frame_uncached(self, spec) -> DataFrame:
@@ -545,25 +548,34 @@ class Engine:
             )
         self._stack.append(shape.node)
         try:
-            # value-frame memo: keyed by (focus-frame identity, path value).
-            # With target memoization the same target spec hands every shape
-            # the SAME focus frame object, so shapes sharing (targets, path)
-            # — the common case in wide shape sets — reuse one persisted
-            # path join.  Identity is re-checked against the stored ref
-            # (id() alone could collide after GC); recursive calls pass
-            # fresh frames and naturally miss.
+            # value-frame memo: keyed by (focus-frame identity, path value),
+            # and ONLY for focus frames served by the target cache — target
+            # memoization hands every shape of a target spec the SAME frame
+            # object, so shapes sharing (targets, path) reuse one persisted
+            # path join.  Recursion-level frames (nonconforming passes a
+            # fresh lineage-cut frame per level) are deliberately NOT
+            # memoized: their identities never recur, and pinning them in
+            # the dict would hold ~max_shape_recursion dead persisted
+            # frames per recursive shape that the context cleaner could
+            # otherwise reclaim mid-run.  Identity is re-checked against
+            # the stored ref (id() alone could collide after GC).
+            memoizable = self._cached_target_ids.get(id(focus_df)) is focus_df
             vkey = (id(focus_df), shape.path)
-            hit = self._values_cache.get(vkey)
+            hit = self._values_cache.get(vkey) if memoizable else None
             if hit is not None and hit[0] is focus_df:
                 values = hit[1]
             else:
                 values = self.values_frame(shape, focus_df)
                 # several constraint branches (and, with the memo, several
                 # shapes) consume the same value frame; persist so the
-                # (possibly multi-hop) path join runs once
-                if self.persist_values:
+                # (possibly multi-hop) path join runs once.  Non-memoized
+                # frames keep the pre-memo policy (persist only when >1
+                # constraint shares them, released by scope like before).
+                if memoizable and self.persist_values:
                     values = values.persist()
                     self._values_cache[vkey] = (focus_df, values)
+                elif len(shape.constraints) > 1 and self.persist_values:
+                    values = values.persist()
             out = self._empty_viols()
             for constraint in shape.constraints:
                 v = self._dispatch(shape, constraint, focus_df, values)
