@@ -67,6 +67,7 @@ def main(sf_dir: str, only: list[str]):
                 os.environ.get("SPARK_GRAFT_ORACLE_SHUFFLE", str(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.sql.maxPlanStringLength", "1000000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -58,6 +58,7 @@ def _session(cpus: str):
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.sql.maxPlanStringLength", "1000000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         # tmpfs shuffle dirs: the shared sandbox disk is not the bottleneck
         # we want to measure

@@ -47,6 +47,7 @@ def main(argv=None) -> int:
         # per round; without the cleaner the superseded checkpoint files
         # accumulate for the job's life (graph.py cut_lineage warns if off)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .config("spark.sql.maxPlanStringLength", "1000000")
     )
     if args.shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))

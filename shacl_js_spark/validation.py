@@ -225,8 +225,15 @@ class Engine:
         # shapes target the same classes and walk the same paths — compute
         # each distinct target frame and (focus, path) value frame once
         self._targets_cache: dict[tuple, DataFrame] = {}
-        self._cached_target_ids: dict[int, DataFrame] = {}  # id -> frame (identity index)
+        # identity index of every SHARED focus frame (cached target frames
+        # AND memoized property-candidate frames): a focus frame listed here
+        # is handed out repeatedly by the engine, so per-(focus, path) memos
+        # downstream are safe and profitable
+        self._cached_target_ids: dict[int, DataFrame] = {}
         self._values_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+        self._cached_values_ids: dict[int, DataFrame] = {}
+        self._candidates_cache: dict[int, tuple[DataFrame, DataFrame]] = {}
+        self._counts_cache: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 
     def release(self) -> None:
         """Unpersist the engine's memoized target/value frames.  Optional —
@@ -238,9 +245,16 @@ class Engine:
             df.unpersist()
         for _focus, df in self._values_cache.values():
             df.unpersist()
+        for _v, df in self._candidates_cache.values():
+            df.unpersist()
+        for _t, _v, df in self._counts_cache.values():
+            df.unpersist()
         self._targets_cache.clear()
         self._cached_target_ids.clear()
         self._values_cache.clear()
+        self._cached_values_ids.clear()
+        self._candidates_cache.clear()
+        self._counts_cache.clear()
 
     # ------------------------------------------------------------------ data
     def _empty_viols(self) -> DataFrame:
@@ -574,6 +588,7 @@ class Engine:
                 if memoizable and self.persist_values:
                     values = values.persist()
                     self._values_cache[vkey] = (focus_df, values)
+                    self._cached_values_ids[id(values)] = values
                 elif len(shape.constraints) > 1 and self.persist_values:
                     values = values.persist()
             out = self._empty_viols()
@@ -760,15 +775,31 @@ class Engine:
         # (validation-engine.js:224-232). Violations recorded with the CHILD's
         # focus/severity/shape; bubbled to the parent focus for conformance.
         child = self.ir.get_shape(c.param_value)
-        if shape.path is None:
-            # node shape: values IS the focus frame, which is distinct by
-            # construction (targets_frame ends in a dedup) — renaming is
-            # enough, no third dedup pass over the same rows
-            candidates = values.select(
-                *[F.col(c_).alias(c_.replace("value", "focus")) for c_ in term_cols("value")]
-            )
+        # candidates memo: when `values` is one of the engine's shared value
+        # frames (same (targets, path) across parent shapes), every parent's
+        # sh:property dispatch hands the SAME candidates frame to its child —
+        # which registers as a shared focus frame, so the CHILD's value/count
+        # memos fire too.  Without this, each of N parent shapes over one
+        # target class rebuilt the child focus frame and re-ran every child
+        # path join (the dominant cost of wide shape sets).
+        shared_vals = self._cached_values_ids.get(id(values)) is values
+        hit = self._candidates_cache.get(id(values)) if shared_vals else None
+        if hit is not None and hit[0] is values:
+            candidates = hit[1]
         else:
-            candidates = self._values_as_candidates(values)
+            if shape.path is None:
+                # node shape: values IS the focus frame, which is distinct by
+                # construction (targets_frame ends in a dedup) — renaming is
+                # enough, no third dedup pass over the same rows
+                candidates = values.select(
+                    *[F.col(c_).alias(c_.replace("value", "focus")) for c_ in term_cols("value")]
+                )
+            else:
+                candidates = self._values_as_candidates(values)
+            if shared_vals and self.persist_values:
+                candidates = candidates.persist()
+                self._candidates_cache[id(values)] = (values, candidates)
+                self._cached_target_ids[id(candidates)] = candidates
         child_viols = self.shape_violations(child, candidates)
         mapping = values.select(
             F.col("focus").alias("_pfocus"), F.col("value").alias("_pvalue")
@@ -970,22 +1001,37 @@ def _impl_hasvaluewithclass(eng, shape, c, targets, values):
     return eng._rows(fail, shape, c.component.iri, with_value=False)
 
 
-def _count_frame(targets: DataFrame, values: DataFrame) -> DataFrame:
+def _count_frame(eng, targets: DataFrame, values: DataFrame) -> DataFrame:
+    """(focus5, _cnt) per target.  MEMOIZED per (targets, values) identity
+    when the focus frame came from the engine's target cache: minCount and
+    maxCount shapes sharing (targets, path) — e.g. "at least 1" and "at
+    most 1" over the same property across a wide shape set — reuse one
+    persisted aggregation instead of re-shuffling the value frame each."""
+    memoizable = eng._cached_target_ids.get(id(targets)) is targets
+    key = (id(targets), id(values))
+    if memoizable:
+        hit = eng._counts_cache.get(key)
+        if hit is not None and hit[0] is targets and hit[1] is values:
+            return hit[2]
     counts = values.groupBy("focus").agg(F.count("value").alias("_cnt"))
-    return targets.join(counts, "focus", "left").withColumn(
+    out = targets.join(counts, "focus", "left").withColumn(
         "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
     )
+    if memoizable and eng.persist_values:
+        out = out.persist()
+        eng._counts_cache[key] = (targets, values, out)
+    return out
 
 
 def _impl_mincount(eng, shape, c, targets, values):
     n = eng._num_param(c.param_value)
-    fail = _count_frame(targets, values).filter(~(F.col("_cnt") >= F.lit(n)))
+    fail = _count_frame(eng, targets, values).filter(~(F.col("_cnt") >= F.lit(n)))
     return eng._rows(fail, shape, c.component.iri, with_value=False)
 
 
 def _impl_maxcount(eng, shape, c, targets, values):
     n = eng._num_param(c.param_value)
-    fail = _count_frame(targets, values).filter(~(F.col("_cnt") <= F.lit(n)))
+    fail = _count_frame(eng, targets, values).filter(~(F.col("_cnt") <= F.lit(n)))
     return eng._rows(fail, shape, c.component.iri, with_value=False)
 
 
@@ -1235,7 +1281,7 @@ def _impl_primarykey(eng, shape, c, targets, values):
     # exact message strings; encodeURIComponent parity stays JVM-side
     # (vectorized url_encode + finite fix-ups, no Python in the path).
     uri_start = c.param_value.value
-    cnt = _count_frame(targets, values)
+    cnt = _count_frame(eng, targets, values)
     first_val = values.groupBy("focus").agg(F.min("value_v").alias("_val"))
     frame = cnt.join(first_val, "focus", "left")
     expected = F.concat(F.lit(uri_start), _encode_uri_component(F.col("_val")))

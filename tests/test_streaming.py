@@ -244,3 +244,56 @@ def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
         list((expected_all - finals) - got)[:3],
     )
     assert got  # non-trivial: at least one closed session observed
+
+
+def test_incremental_staging_sweep_only_at_batch_start(spark, tmp_path):
+    # an orphaned staging dir (crash between staged write and swaps) must
+    # be swept when the replayed batch starts — but NOT by report(), which
+    # may run concurrently with an in-flight batch whose staging dir is live
+    shapes = LocalGraph.from_turtle(SHAPES)
+    iv = IncrementalValidator(spark, shapes, str(tmp_path / "sweep"))
+    iv.process_batch(_batch_df(spark, BATCH1), 0)
+    orphan = iv.report_dir + ".staging-deadbeef"
+    os.makedirs(orphan)
+    before = {r["focus_v"] for r in iv.report().collect()}
+    assert os.path.isdir(orphan)  # report() left the (possibly live) staging dir
+    iv.process_batch(_batch_df(spark, BATCH2), 1)
+    assert not os.path.isdir(orphan)  # batch-start recovery swept it
+    after = {r["focus_v"] for r in iv.report().collect()}
+    assert before <= after or after  # report still readable post-sweep
+
+
+def test_engine_memoizes_targets_values_and_counts(spark):
+    # shapes sharing a target class must reuse ONE focus frame; shapes
+    # sharing (targets, path) one value frame; minCount+maxCount over the
+    # same (targets, path) one count frame — and release() drops them all
+    from shacl_js_spark.validation import Engine
+    from shacl_js_spark.graph import turtle_df
+
+    shapes = LocalGraph.from_turtle("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://e/> .
+    ex:S1 a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    ex:S2 a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:property [ sh:path ex:name ; sh:maxCount 1 ] .
+    """)
+    data = turtle_df(spark, """
+    @prefix ex: <http://e/> .
+    ex:a a ex:Person ; ex:name "x" .
+    ex:b a ex:Person ; ex:name "y", "z" .
+    ex:c a ex:Person .
+    """)
+    eng = Engine(spark, data, shapes)
+    report = eng.validate()
+    focus = sorted(r.focusNode() for r in report.results())
+    assert focus == ["http://e/b", "http://e/c"]  # b: maxCount, c: minCount
+    assert len(eng._targets_cache) == 1           # one spec, one frame
+    # property shapes walk the same (targets, path): one shared value frame
+    # and one shared count frame between the minCount and maxCount branches
+    assert len(eng._counts_cache) == 1
+    cached = list(eng._targets_cache.values())[0]
+    assert cached.is_cached
+    eng.release()
+    assert not cached.is_cached
+    assert not eng._targets_cache and not eng._counts_cache and not eng._values_cache
