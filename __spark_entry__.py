@@ -1078,7 +1078,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _pq(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=50).select(
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=None).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
         F.col("jaccard").cast("double").alias("jaccard"),
@@ -2152,18 +2152,26 @@ def oracle_sql() -> dict[str, str]:
             ),
             und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
             nodes AS (SELECT DISTINCT src AS n FROM und),
-            reach(n, m) AS (
+            -- iterative min-label propagation, O(E * diameter): each round a
+            -- node receives the min label on its frontier; the component min
+            -- walks outward BFS-style and the final per-node min equals the
+            -- component minimum (same verdict as the engine's union-find /
+            -- distributed fixpoint).  Replaces the all-pairs transitive
+            -- closure (O(sum of component^2)) that was infeasible at sf1's
+            -- 391k candidate edges (r4 verdict #3).
+            lp(n, lbl) AS (
               SELECT n, n FROM nodes
               UNION
-              SELECT r.n, u.dst FROM reach r JOIN und u ON r.m = u.src
+              SELECT u.dst, min(l.lbl) FROM lp l JOIN und u ON l.n = u.src GROUP BY u.dst
             )
-            SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY n
+            SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM lp GROUP BY n
         """,
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""
             WITH sh AS ({_shingles_sql()}),
-            dfc AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+            dfc AS (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING count(*) <= greatest(50, (SELECT count(*) // 100 FROM documents))),
             rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             shared AS (

@@ -66,12 +66,20 @@ def main() -> int:
     via_dist.count()
     t_dist = time.time() - t0
 
-    diverging = (
-        via_driver.join(via_dist, "entity_id")
-        .filter(via_driver["canonical_id"] != via_dist["canonical_id"])
-        .count()
+    # Full outer join so a node present on only one side counts as
+    # divergence (an inner join + count delta could hide offsetting
+    # membership differences between equal-sized label sets).
+    joined = via_driver.withColumnRenamed("canonical_id", "cid_a").join(
+        via_dist.withColumnRenamed("canonical_id", "cid_b"), "entity_id", "full_outer"
     )
-    only_one_side = abs(via_driver.count() - via_dist.count())
+    diverging = joined.filter(
+        F.col("cid_a").isNull()
+        | F.col("cid_b").isNull()
+        | (F.col("cid_a") != F.col("cid_b"))
+    ).count()
+    only_one_side = joined.filter(
+        F.col("cid_a").isNull() | F.col("cid_b").isNull()
+    ).count()
 
     n_clusters = via_driver.select("canonical_id").distinct().count()
     print(json.dumps({

@@ -28,12 +28,22 @@ This covers the subset sufficient for data documents in the wild:
     graph URI (src/rdflib-graph.js:55-82); graph containers still emit the
     (subject, predicate, graph-name) link per JSON-LD 1.1 expansion
   * @id references resolve WITHOUT @vocab (vocab applies to terms and
-    @type only; relative @ids pass through — @base remains out of scope)
+    @type only); relative IRI references resolve against @base (context
+    @base, itself possibly relative to an outer @base, RFC 3986 merge via
+    urljoin); without a @base in scope, relative refs pass through
+    unchanged as before
+
+Intentional subset restrictions (stricter than JSON-LD 1.1):
+  * @nest values containing @id are rejected ("invalid @nest value") —
+    full 1.1 expansion would merge a nested @id into the enclosing node
+    (colliding-keys error if both set one); this parser requires the @id
+    on the enclosing node itself, where it is unambiguous
 """
 
 from __future__ import annotations
 
 import json
+from urllib.parse import urljoin
 
 from .terms import Term, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, bnode, iri, literal
 from .turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, Triple
@@ -53,6 +63,7 @@ class _Parser:
         #:          "container": str|None}
         self.ctx: dict[str, dict] = {}
         self.vocab: str | None = None
+        self.base: str | None = None
         self.default_lang: str | None = None
         self.contexts = contexts or {}
         self._bn = 0
@@ -84,7 +95,13 @@ class _Parser:
             elif k == "@language":
                 self.default_lang = v
             elif k == "@base":
-                continue  # relative-IRI resolution is out of subset scope
+                if v is None:
+                    self.base = None  # explicit null clears the base
+                elif not isinstance(v, str):
+                    raise JsonLdError(f"invalid @base: {v!r}")
+                else:
+                    # a relative @base resolves against the outer base
+                    self.base = urljoin(self.base, v) if self.base else v
             elif v is None:
                 self.ctx.pop(k, None)
             elif isinstance(v, str):
@@ -110,14 +127,26 @@ class _Parser:
                 raise JsonLdError(f"invalid term definition for {k!r}: {v!r}")
 
     def prefix_map(self) -> dict[str, str]:
-        return {k: self._expand(d["id"]) for k, d in self.ctx.items()}
+        # keyword-aliased terms (e.g. "label": "@nest") are syntax, not
+        # namespace prefixes — emitting them would map term -> "@nest"
+        return {
+            k: self._expand(d["id"])
+            for k, d in self.ctx.items()
+            if not d["id"].startswith("@")
+        }
 
     # ---- node/value parsing --------------------------------------------
     def _fresh(self) -> Term:
         self._bn += 1
         return bnode(f"_:jb{self._bn}")
 
-    def _expand(self, key: str, _depth: int = 0, vocab: bool = True) -> str:
+    def _expand(
+        self,
+        key: str,
+        _depth: int = 0,
+        vocab: bool = True,
+        doc_relative: bool = False,
+    ) -> str:
         if _depth > 8 or key.startswith(_ABS_PREFIXES):
             return key
         if ":" in key:
@@ -136,15 +165,22 @@ class _Parser:
             return self._expand(self.ctx[key]["id"], _depth + 1)
         if vocab and self.vocab and not key.startswith("@"):
             return self.vocab + key
+        # document-relative positions (@id refs; @type after vocab fails)
+        # resolve against @base per RFC 3986 (JSON-LD §5.2 IRI expansion);
+        # with no base in scope a relative ref passes through unchanged
+        if doc_relative and self.base and not key.startswith("@"):
+            return urljoin(self.base, key)
         return key
 
     def _node_term(self, ref: str, vocab: bool = False) -> Term:
         """IRI reference -> term.  @id positions resolve against @base, NOT
-        @vocab (JSON-LD §IRI expansion), so vocab expansion is bypassed by
-        default and a relative @id passes through unchanged (consistent with
-        the declared @base-out-of-scope stance).  @type positions are
-        vocab-relative — those call sites pass vocab=True."""
-        return bnode(ref) if ref.startswith("_:") else iri(self._expand(ref, vocab=vocab))
+        @vocab (JSON-LD §IRI expansion) — vocab expansion is bypassed by
+        default and relative refs join onto the in-scope @base (pass-through
+        when none is set).  @type positions are vocab-relative first, then
+        base-relative — those call sites pass vocab=True."""
+        if ref.startswith("_:"):
+            return bnode(ref)
+        return iri(self._expand(ref, vocab=vocab, doc_relative=True))
 
     def _property_values(self, key: str, value) -> list:
         """Normalize a property's JSON value per its term @container."""
@@ -179,12 +215,12 @@ class _Parser:
     def parse_node(self, obj: dict) -> Term:
         local_ctx = "@context" in obj
         if local_ctx:
-            saved = (dict(self.ctx), self.vocab, self.default_lang)
+            saved = (dict(self.ctx), self.vocab, self.default_lang, self.base)
             self.apply_context(obj["@context"])
         subj = self._node_term(obj["@id"]) if "@id" in obj else self._fresh()
         self._parse_members(subj, obj)
         if local_ctx:
-            self.ctx, self.vocab, self.default_lang = saved
+            self.ctx, self.vocab, self.default_lang, self.base = saved
         return subj
 
     def _nest(self, subj: Term, value) -> None:
@@ -291,7 +327,9 @@ class _Parser:
                 if "@language" in v:
                     return literal(str(val), lang=v["@language"])
                 if "@type" in v:
-                    return literal(str(val), self._expand(v["@type"]))
+                    return literal(
+                        str(val), self._expand(v["@type"], doc_relative=True)
+                    )
                 # explicit value objects opt out of term/default language
                 return self._scalar(val, lang=None)
             return self.parse_node(v)

@@ -293,10 +293,20 @@ def simhash_dup_groups(df: DataFrame, bits: int = 16, max_exemplars: int = 100) 
 
 # --- n-gram jaccard (no LSH; DF-capped shingle self-join) ---------------------
 
-def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int = 50) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
     """All-pairs jaccard via shingle self-join, with a document-frequency cap
     on shingles (skew guard: a shingle seen in >max_df docs is dropped from
-    pair generation, like stopword shingles in dedup literature)."""
+    pair generation, like stopword shingles in dedup literature).
+
+    max_df=None (default) is SCALE-AWARE: max(50, n_docs // 100), i.e. 1% of
+    the corpus — a fixed absolute cap silently drops every genuinely shared
+    shingle once document frequencies outgrow it (observed at 10x scale: the
+    old fixed 50 produced zero pairs at sf1, r4 verdict).  Costs one cheap
+    count() job over the document frame."""
+    if max_df is None:
+        max_df = max(50, df.count() // 100)
     sh = shingles(df, n)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")

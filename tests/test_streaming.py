@@ -260,7 +260,8 @@ def test_incremental_staging_sweep_only_at_batch_start(spark, tmp_path):
     iv.process_batch(_batch_df(spark, BATCH2), 1)
     assert not os.path.isdir(orphan)  # batch-start recovery swept it
     after = {r["focus_v"] for r in iv.report().collect()}
-    assert before <= after or after  # report still readable post-sweep
+    assert after  # report still readable post-sweep
+    assert before <= after  # batch-2 upsert only adds focus nodes here
 
 
 def test_engine_memoizes_targets_values_and_counts(spark):

@@ -353,3 +353,135 @@ def test_jsonld_vocab_never_applies_to_id(spark):
     assert by_pred["http://v/knows"] == ("rel-subject", "rel-object")
     s, o = by_pred["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
     assert (s, o) == ("rel-subject", "http://v/Thing")
+
+
+BASE_SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://data.example/people/> .
+@prefix exv: <http://vocab.example/> .
+ex:S a sh:NodeShape ; sh:targetClass exv:Person ;
+  sh:property [ sh:path exv:age ;
+    sh:datatype <http://www.w3.org/2001/XMLSchema#integer> ] ;
+  sh:property [ sh:path exv:knows ; sh:nodeKind sh:IRI ] .
+"""
+
+BASE_TTL = """
+@prefix ex: <http://data.example/people/> .
+@prefix exv: <http://vocab.example/> .
+ex:alice a exv:Person ; exv:age 34 ; exv:knows ex:bob .
+ex:bob a exv:Person ; exv:age "n/a" ; exv:knows <http://data.example/people/alice#self> .
+"""
+
+# identical content expressed with a @base and relative @id references
+# (plain, fragment, and a relative @base resolved against the outer base
+# in a nested local context)
+BASE_JSONLD = """
+{
+  "@context": {"@base": "http://data.example/", "@vocab": "http://vocab.example/"},
+  "@graph": [
+    {"@context": {"@base": "people/"},
+     "@id": "alice", "@type": "Person", "age": 34,
+     "knows": {"@id": "bob"}},
+    {"@context": {"@base": "people/"},
+     "@id": "bob", "@type": "Person", "age": "n/a",
+     "knows": {"@id": "alice#self"}}
+  ]
+}
+"""
+
+
+def test_jsonld_base_matches_turtle_twin(spark):
+    # @base + relative @ids (incl. a relative @base joined onto the outer
+    # @base) resolve to the same IRIs as the absolute Turtle twin, so the
+    # validation verdicts are identical (bob: age datatype violation only)
+    got_ttl = SHACLValidator(spark).validate(BASE_TTL, "text/turtle", BASE_SHAPES)
+    got_ld = SHACLValidator(spark).validate(BASE_JSONLD, "application/ld+json", BASE_SHAPES)
+
+    def sig(report):
+        return sorted(
+            (r.focusNode(), r.sourceConstraintComponent()) for r in report.results()
+        )
+
+    assert sig(got_ttl) == sig(got_ld)
+    assert {f for f, _c in sig(got_ld)} == {"http://data.example/people/bob"}
+    assert len(sig(got_ld)) == 1
+
+
+def test_jsonld_base_scoping_and_null(spark):
+    # local-context @base restores on exit; "@base": null clears it so
+    # relative refs pass through unchanged again
+    from shacl_js_spark.jsonld import parse_jsonld
+
+    doc = """
+    [
+      {"@context": {"@base": "http://b.example/dir/"},
+       "@id": "x", "@type": "http://t.example/T"},
+      {"@context": [{"@base": "http://b.example/dir/"}, {"@base": null}],
+       "@id": "still-relative", "@type": "http://t.example/T"}
+    ]
+    """
+    trips, _ = parse_jsonld(doc)
+    subjects = {s.value for (s, _p, _o) in trips}
+    assert subjects == {"http://b.example/dir/x", "still-relative"}
+
+
+def test_jsonld_prefix_map_skips_keyword_aliases(spark):
+    # a term aliased to a keyword ("address": "@nest") is syntax, not a
+    # namespace prefix — prefix_map must not emit address -> "@nest"
+    from shacl_js_spark.jsonld import parse_jsonld
+
+    doc = """
+    {"@context": {"ex": "http://e/", "address": "@nest"},
+     "@id": "ex:a", "address": {"ex:p": 1}}
+    """
+    _, pmap = parse_jsonld(doc)
+    assert pmap == {"ex": "http://e/"}
+
+
+def test_cross_shape_fusion_parity(spark):
+    # report_df() pools row-wise checks from shapes sharing a value frame
+    # into one fused pass; the emitted row MULTISET must equal the unfused
+    # per-shape walk (same predicates, messages, severities, bubble joins)
+    from shacl_js_spark.graph import turtle_df
+    from shacl_js_spark.localgraph import LocalGraph
+    from shacl_js_spark.validation import RECORD_COLS, Engine
+
+    data = turtle_df(spark, """
+    @prefix ex: <http://e/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:a a ex:T ; ex:p "abc" ; ex:p "Xyz" ; ex:q 5 .
+    ex:b a ex:T ; ex:p 12 ; ex:q "no"@en .
+    ex:c a ex:T ; ex:q 3 .
+    """)
+    shapes_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://e/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S1 a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:datatype xsd:string ; sh:minLength 2 ] .
+    ex:S2 a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:pattern "^[a-z]" ; sh:message "lower!" ] .
+    ex:S3 a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:q ; sh:maxInclusive 4 ; sh:severity sh:Warning ] .
+    ex:S4 a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:minCount 1 ] .
+    ex:S5 a sh:NodeShape ; sh:targetClass ex:T ; sh:nodeKind sh:IRI .
+    """
+    shapes = LocalGraph.from_turtle(shapes_ttl)
+
+    fused = Engine(spark, data, shapes)
+    got = sorted(tuple(r) for r in fused.report_df().collect())
+    assert fused._fuse_pool == {}  # pool drained and reset after the walk
+    fused.release()
+
+    unfused = Engine(spark, data, shapes)
+    out = None
+    for shape in unfused.ir.shapes_with_target():
+        t = unfused.targets_frame(shape)
+        v = unfused.shape_violations(shape, t).select(*RECORD_COLS)
+        out = v if out is None else out.unionByName(v)
+    expected = sorted(tuple(r) for r in out.collect())
+    unfused.release()
+
+    assert got == expected
+    assert len(got) >= 4  # non-trivial: datatype+minLength+pattern+range hits
