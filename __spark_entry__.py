@@ -76,6 +76,12 @@ _INPUT_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _evict_stale(spark: SparkSession, sf_dir: str) -> None:
+    # ASSUMES one sf_dir per session (every in-repo caller: driver gate,
+    # check_oracle, bench).  A session that deliberately alternates sf_dirs
+    # would thrash this cache — recompute cost only, never wrong results,
+    # because eviction happens strictly on insert of a DIFFERENT key, not
+    # while a served frame's sf_dir is still the active one.  If cross-sf
+    # sessions ever become a pattern, switch to a count-threshold eviction.
     for key, (sess, df) in list(_INPUT_CACHE.items()):
         if sess is spark and key[1] == sf_dir:
             continue

@@ -234,12 +234,16 @@ class Engine:
         self._cached_values_ids: dict[int, DataFrame] = {}
         self._candidates_cache: dict[int, tuple[DataFrame, DataFrame]] = {}
         self._counts_cache: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
+        self._class_fail_cache: dict[tuple, tuple[DataFrame, DataFrame]] = {}
         # cross-shape fusion pool (active only inside validate()/report_df()):
         # id(value frame) -> [values, bubble-mapping-or-None, entries], where
         # entries collect row-wise checks from EVERY shape sharing that value
         # frame; the pool flushes as ONE scan + (for property children) ONE
         # bubble join per frame instead of one per shape.  See _all_violations.
         self._fuse_pool: dict[int, list] = {}
+        # same idea for min/maxCount: entries pool per shared COUNT frame
+        # (the memoized (focus, _cnt) aggregation), flushing as one pass
+        self._fuse_pool_counts: dict[int, list] = {}
         self._deferring = False
         self._pool_mapping: DataFrame | None = None  # set by _property around child calls
 
@@ -257,12 +261,15 @@ class Engine:
             df.unpersist()
         for _t, _v, df in self._counts_cache.values():
             df.unpersist()
+        for _v, df in self._class_fail_cache.values():
+            df.unpersist()
         self._targets_cache.clear()
         self._cached_target_ids.clear()
         self._values_cache.clear()
         self._cached_values_ids.clear()
         self._candidates_cache.clear()
         self._counts_cache.clear()
+        self._class_fail_cache.clear()
 
     # ------------------------------------------------------------------ data
     def _empty_viols(self) -> DataFrame:
@@ -549,6 +556,7 @@ class Engine:
         shapes = self.ir.shapes_with_target()
         out = self._empty_viols().select(*RECORD_COLS)
         self._fuse_pool = {}
+        self._fuse_pool_counts = {}
         self._deferring = True
         self._pool_mapping = None
         try:
@@ -557,17 +565,22 @@ class Engine:
                 out = out.unionByName(
                     self.shape_violations(shape, targets).select(*RECORD_COLS)
                 )
-            for values, mapping, entries in self._fuse_pool.values():
-                rows = self._fused_rows(values, entries)
-                if mapping is not None:
-                    rows = rows.join(
-                        mapping, rows["bubble"] == mapping["_pvalue"], "inner"
-                    ).select(F.col("_pfocus").alias("bubble"), *VIOL_COLS[1:])
-                out = out.unionByName(rows.select(*RECORD_COLS))
+            for pool, with_value in (
+                (self._fuse_pool, True),
+                (self._fuse_pool_counts, False),
+            ):
+                for frame, mapping, entries in pool.values():
+                    rows = self._fused_rows(frame, entries, with_value=with_value)
+                    if mapping is not None:
+                        rows = rows.join(
+                            mapping, rows["bubble"] == mapping["_pvalue"], "inner"
+                        ).select(F.col("_pfocus").alias("bubble"), *VIOL_COLS[1:])
+                    out = out.unionByName(rows.select(*RECORD_COLS))
         finally:
             self._deferring = False
             self._pool_mapping = None
             self._fuse_pool = {}
+            self._fuse_pool_counts = {}
         return out
 
     def shape_violations(self, shape: Shape, focus_df: DataFrame) -> DataFrame:
@@ -626,21 +639,20 @@ class Engine:
             # bubble mapping composes one level), row-wise checks defer into
             # the pool so shapes sharing a value frame flush as ONE pass.
             pooling = self._deferring and len(self._stack) <= 2
-            fused, rest = self._split_fusible(shape, min_fuse=1 if pooling else 2)
+            fused, fused_counts, rest = self._split_fusible(
+                shape, min_fuse=1 if pooling else 2, pool_counts=pooling
+            )
             out = self._empty_viols()
             if fused:
                 if pooling:
-                    group = self._fuse_pool.get(id(values))
-                    if group is None or group[0] is not values:
-                        self._fuse_pool[id(values)] = [
-                            values, self._pool_mapping, list(fused)
-                        ]
-                    else:
-                        group[2].extend(fused)
+                    self._pool_add(self._fuse_pool, values, fused)
                 else:
                     out = out.unionByName(
                         self._fused_rows(values, fused).select(*VIOL_COLS)
                     )
+            if fused_counts:  # pooling-only by construction
+                cf = _count_frame(self, focus_df, values)
+                self._pool_add(self._fuse_pool_counts, cf, fused_counts)
             for constraint in rest:
                 v = self._dispatch(shape, constraint, focus_df, values)
                 if v is not None:
@@ -649,42 +661,79 @@ class Engine:
         finally:
             self._stack.pop()
 
+    def _fusible_message(self, shape: Shape, c: Constraint) -> tuple[str | None, bool]:
+        """(message, fusible): message parity with _dispatch — shape-level
+        sh:message wins, else the component default (constant per constraint
+        here).  fusible=False when the default needs row-level {?path}
+        substitution, which only the unfused path implements."""
+        if shape.messages:
+            msg = self.MESSAGE_SEP.join(m.value for m in shape.messages)
+        else:
+            msg = self._default_message(shape, c)
+        return msg, not (msg is not None and "{?path}" in msg)
+
     def _split_fusible(
-        self, shape: Shape, min_fuse: int = 2
-    ) -> tuple[list[tuple[Shape, Constraint, Column, str | None]], list[Constraint]]:
+        self, shape: Shape, min_fuse: int = 2, pool_counts: bool = False
+    ) -> tuple[list, list, list[Constraint]]:
         """Partition a shape's constraints into (fused row-wise value checks,
-        everything else).  A constraint fuses when its component has an
-        _OK_CONDS builder that yields a Column AND its resolved message needs
-        no row-level {?path} substitution.  Outside the cross-shape pool,
-        fusion fires only for >=2 candidates — a lone constraint keeps the
-        plain filter path (same plan, fewer moving parts); pooled contexts
-        pass min_fuse=1 since other shapes may join the same group."""
-        fused: list[tuple[Shape, Constraint, Column, str | None]] = []
-        rest: list[Constraint] = []
+        fused count checks, everything else).  A constraint fuses when its
+        component is valid for this shape kind (style check parity with
+        _dispatch: invalid usage must reach _dispatch and raise), has an
+        _OK_CONDS / _COUNT_OKS condition builder that yields a Column, and
+        its resolved message needs no row-level {?path} substitution.
+        Outside the cross-shape pool, fusion fires only for >=2 value-check
+        candidates — a lone constraint keeps the plain filter path (same
+        plan, fewer moving parts); pooled contexts pass min_fuse=1 since
+        other shapes may join the same group.  Count checks pool only when
+        pool_counts (they fuse over the shared count frame, which only the
+        report-walk flush knows how to emit)."""
+        fused: list = []
+        fused_counts: list = []
         for c in shape.constraints:
-            cond_fn = None if c.component.custom else _OK_CONDS.get(c.component.iri)
+            style = (
+                c.component.property_style
+                if shape.is_property_shape
+                else c.component.node_style
+            )
+            if c.component.custom or style is None:
+                continue
+            if pool_counts and c.component.iri in _COUNT_OKS:
+                msg, fusible = self._fusible_message(shape, c)
+                if fusible:
+                    fused_counts.append(
+                        (shape, c, _COUNT_OKS[c.component.iri](self, shape, c), msg)
+                    )
+                continue
+            cond_fn = _OK_CONDS.get(c.component.iri)
             ok = cond_fn(self, shape, c) if cond_fn is not None else None
             if ok is None:
-                rest.append(c)
                 continue
-            # message parity with _dispatch: shape-level sh:message wins,
-            # else the component default (constant per constraint here)
-            if shape.messages:
-                msg = self.MESSAGE_SEP.join(m.value for m in shape.messages)
-            else:
-                msg = self._default_message(shape, c)
-            if msg is not None and "{?path}" in msg:
-                rest.append(c)  # row-level substitution — unfused path
-                continue
-            fused.append((shape, c, ok, msg))
+            msg, fusible = self._fusible_message(shape, c)
+            if fusible:
+                fused.append((shape, c, ok, msg))
         if len(fused) < min_fuse:
-            return [], shape.constraints
-        return fused, rest
+            fused = []
+        taken = {id(c) for (_s, c, _o, _m) in fused}
+        taken |= {id(c) for (_s, c, _o, _m) in fused_counts}
+        rest = [c for c in shape.constraints if id(c) not in taken]
+        return fused, fused_counts, rest
+
+    def _pool_add(self, pool: dict[int, list], frame: DataFrame, entries: list) -> None:
+        """Add fused entries to `frame`'s pool group.  The bubble mapping is
+        captured from the CURRENT _property context at group creation; all
+        shapes sharing a frame share one logically-identical mapping (both
+        derive from the same memoized parent value frame)."""
+        group = pool.get(id(frame))
+        if group is None or group[0] is not frame:
+            pool[id(frame)] = [frame, self._pool_mapping, list(entries)]
+        else:
+            group[2].extend(entries)
 
     def _fused_rows(
         self,
         values: DataFrame,
         fused: list[tuple[Shape, Constraint, Column, str | None]],
+        with_value: bool = True,
     ) -> DataFrame:
         """ONE pass over the shared value frame evaluates every fused
         row-wise constraint: per-constraint fail structs (component +
@@ -717,10 +766,17 @@ class Engine:
             )
         viol = F.explode(F.filter(F.array(*entries), lambda x: x.isNotNull()))
         exploded = values.select("*", viol.alias("_viol"))
+        # count-frame groups have no value columns (createResult parity with
+        # _rows(with_value=False): value stays null on count violations)
+        value_cols = (
+            [F.col(cn) for cn in term_cols("value")]
+            if with_value
+            else [_NULL().alias(cn) for cn in term_cols("value")]
+        )
         return exploded.select(
             F.col("focus").alias("bubble"),
             *[F.col(cn) for cn in term_cols("focus")],
-            *[F.col(cn) for cn in term_cols("value")],
+            *value_cols,
             F.col("_viol.pth").alias("path"),
             F.col("_viol.comp").alias("component"),
             F.col("_viol.sev").alias("severity"),
@@ -953,12 +1009,24 @@ class Engine:
 
     def _class(self, shape, c, targets, values):
         # validateClass (dash.js:27-29): instance-of incl. data-graph subclass
-        # closure — broadcast-joined type closure.
+        # closure — broadcast-joined type closure.  The FAIL frame is memoized
+        # per (shared value frame, class): N shapes asserting the same class
+        # over the same (targets, path) — common in wide shape sets — share
+        # one persisted anti-join instead of N scans of the value frame.
         cls = c.param_value
-        instances = self.class_instances_df(cls, "node").select("node")
-        fail = values.join(
-            F.broadcast(instances), values["value"] == instances["node"], "left_anti"
-        )
+        shared = self._cached_values_ids.get(id(values)) is values
+        key = (id(values), cls.encoded())
+        hit = self._class_fail_cache.get(key) if shared else None
+        if hit is not None and hit[0] is values:
+            fail = hit[1]
+        else:
+            instances = self.class_instances_df(cls, "node").select("node")
+            fail = values.join(
+                F.broadcast(instances), values["value"] == instances["node"], "left_anti"
+            )
+            if shared and self.persist_values:
+                fail = fail.persist()
+                self._class_fail_cache[key] = (values, fail)
         return self._rows(fail, shape, c.component.iri)
 
 # --------------------------------------------------------------------------
@@ -1603,6 +1671,18 @@ _OK_CONDS = {
     SH + "InConstraintComponent": _cond_in,
     SH + "LanguageInConstraintComponent": _cond_languagein,
     DASH + "StemConstraintComponent": _cond_stem,
+}
+
+#: count-constraint OK conditions over the shared COUNT frame ((focus5,
+#: _cnt) from _count_frame) for the cross-shape pool: min/maxCount shapes
+#: sharing (targets, path) flush as one pass over one persisted aggregation.
+_COUNT_OKS = {
+    SH + "MinCountConstraintComponent": (
+        lambda eng, shape, c: F.col("_cnt") >= F.lit(eng._num_param(c.param_value))
+    ),
+    SH + "MaxCountConstraintComponent": (
+        lambda eng, shape, c: F.col("_cnt") <= F.lit(eng._num_param(c.param_value))
+    ),
 }
 
 _IMPLS = {

@@ -260,8 +260,11 @@ def test_incremental_staging_sweep_only_at_batch_start(spark, tmp_path):
     iv.process_batch(_batch_df(spark, BATCH2), 1)
     assert not os.path.isdir(orphan)  # batch-start recovery swept it
     after = {r["focus_v"] for r in iv.report().collect()}
-    assert after  # report still readable post-sweep
-    assert before <= after  # batch-2 upsert only adds focus nodes here
+    # post-sweep report is readable AND semantically exact: batch 2 names
+    # ex:a (violation retracted) and adds nameless ex:c — same verdicts as
+    # test_incremental_validation_batches, unperturbed by the sweep
+    assert before == {"http://e/a"}
+    assert after == {"http://e/c"}
 
 
 def test_engine_memoizes_targets_values_and_counts(spark):

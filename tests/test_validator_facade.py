@@ -466,12 +466,20 @@ def test_cross_shape_fusion_parity(spark):
     ex:S4 a sh:NodeShape ; sh:targetClass ex:T ;
       sh:property [ sh:path ex:p ; sh:minCount 1 ] .
     ex:S5 a sh:NodeShape ; sh:targetClass ex:T ; sh:nodeKind sh:IRI .
+    ex:S6 a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:p ; sh:maxCount 1 ; sh:message "too many p" ] .
+    ex:S7 a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:property [ sh:path ex:q ; sh:minCount 2 ; sh:severity sh:Info ] .
     """
     shapes = LocalGraph.from_turtle(shapes_ttl)
 
+    def key(r):  # None-safe: count rows carry null value/message columns
+        return tuple((v is None, v) for v in r)
+
     fused = Engine(spark, data, shapes)
-    got = sorted(tuple(r) for r in fused.report_df().collect())
-    assert fused._fuse_pool == {}  # pool drained and reset after the walk
+    got = sorted((tuple(r) for r in fused.report_df().collect()), key=key)
+    assert fused._fuse_pool == {}  # pools drained and reset after the walk
+    assert fused._fuse_pool_counts == {}
     fused.release()
 
     unfused = Engine(spark, data, shapes)
@@ -480,8 +488,49 @@ def test_cross_shape_fusion_parity(spark):
         t = unfused.targets_frame(shape)
         v = unfused.shape_violations(shape, t).select(*RECORD_COLS)
         out = v if out is None else out.unionByName(v)
-    expected = sorted(tuple(r) for r in out.collect())
+    expected = sorted((tuple(r) for r in out.collect()), key=key)
     unfused.release()
 
     assert got == expected
     assert len(got) >= 4  # non-trivial: datatype+minLength+pattern+range hits
+    # the COUNT pool fired too: S4 minCount (ex:c has no ex:p), S6 maxCount
+    # with a shape-level message (ex:a has two ex:p), S7 minCount 2 at Info
+    msgs = {r[-1] for r in got}
+    assert "too many p" in msgs
+    assert any("Less than 1 value" in (m or "") for m in msgs)
+
+
+def test_class_fail_frame_memoized_across_shapes(spark):
+    # N shapes asserting the same sh:class over the same (targets, path)
+    # share ONE persisted anti-join fail frame; release() drops it
+    from shacl_js_spark.graph import turtle_df
+    from shacl_js_spark.localgraph import LocalGraph
+    from shacl_js_spark.validation import Engine
+
+    data = turtle_df(spark, """
+    @prefix ex: <http://e/> .
+    ex:d1 a ex:Doc ; ex:ref ex:e1 ; ex:ref ex:x .
+    ex:d2 a ex:Doc ; ex:ref ex:e1 .
+    ex:e1 a ex:Entity .
+    """)
+    shapes = LocalGraph.from_turtle("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://e/> .
+    ex:A a sh:NodeShape ; sh:targetClass ex:Doc ;
+      sh:property [ sh:path ex:ref ; sh:class ex:Entity ] .
+    ex:B a sh:NodeShape ; sh:targetClass ex:Doc ;
+      sh:property [ sh:path ex:ref ; sh:class ex:Entity ;
+                    sh:severity sh:Warning ] .
+    """)
+    eng = Engine(spark, data, shapes)
+    rows = eng.report_df().collect()
+    # both shapes flag ex:x — one at Violation, one at Warning
+    assert sorted((r["value_v"], r["severity"]) for r in rows) == [
+        ("http://e/x", "http://www.w3.org/ns/shacl#Violation"),
+        ("http://e/x", "http://www.w3.org/ns/shacl#Warning"),
+    ]
+    assert len(eng._class_fail_cache) == 1  # one (value frame, class) entry
+    cached = next(iter(eng._class_fail_cache.values()))[1]
+    assert cached.is_cached
+    eng.release()
+    assert not cached.is_cached and not eng._class_fail_cache
