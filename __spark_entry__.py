@@ -1264,6 +1264,25 @@ def q_cur_pack_partitioned(spark, sf_dir):
     ).select("doc_id", "n_tokens", "pack_id", "pack_offset")
 
 
+def q_cur_quality_filter(spark, sf_dir):
+    # exact-rank oracle twin; quality_threshold_filter is the 100 TB path
+    # (approx-quantile thresholds, map-only — parity-tested in pytest)
+    from shacl_js_spark.ops.curation import quality_percentile_filter
+
+    return quality_percentile_filter(
+        _pq(spark, sf_dir, "documents"), keep_frac=0.9
+    ).select("doc_id", "lang", "quality")
+
+
+def q_cur_stratified_sample(spark, sf_dir):
+    # deterministic hash-based data-mixing sample (MIX_FRACTIONS defaults)
+    from shacl_js_spark.ops.curation import stratified_sample
+
+    return stratified_sample(_pq(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "weight"
+    )
+
+
 # --- events (windowed analytics) --------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
@@ -1506,6 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_contamination": q_cur_contamination,
         "cur_pack": q_cur_pack,
         "cur_pack_partitioned": q_cur_pack_partitioned,
+        "cur_quality_filter": q_cur_quality_filter,
+        "cur_stratified_sample": q_cur_stratified_sample,
         # events
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1662,6 +1683,30 @@ def _ivf_topk_sql(query_vec_id: int, k: int, n_centroids: int = 16, iters: int =
         ORDER BY cos DESC, a.vec_id
         LIMIT {k}
     """
+
+
+def _mix_threshold_case() -> str:
+    """CASE mapping lang -> md5-prefix keep threshold, generated from the
+    same MIX_FRACTIONS the Spark op reads (single source of truth)."""
+    from shacl_js_spark.ops.curation import MIX_FRACTIONS, _mix_hex_threshold
+
+    arms = " ".join(
+        f"WHEN '{lang}' THEN '{_mix_hex_threshold(frac)}'"
+        for lang, frac in sorted(MIX_FRACTIONS.items())
+        if frac > 0
+    )
+    return f"CASE lang {arms} ELSE '' END"
+
+
+def _mix_weight_case() -> str:
+    from shacl_js_spark.ops.curation import MIX_FRACTIONS
+
+    arms = " ".join(
+        f"WHEN '{lang}' THEN CAST({round(1.0 / frac, 6)!r} AS DOUBLE)"
+        for lang, frac in sorted(MIX_FRACTIONS.items())
+        if frac > 0
+    )
+    return f"CASE lang {arms} END"
 
 
 def _cur_pii_sql() -> str:
@@ -2337,6 +2382,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
                    CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        # quality formula CTE is the text_quality oracle + lang; the
+        # keep-N arithmetic (ceil(0.9 * n) in IEEE double) is spelled
+        # identically on both engines, so boundary rounding agrees
+        "cur_quality_filter": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tok,
+                     length(text) AS n_chars,
+                     len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS n_stop,
+                     length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_alpha,
+                     len(string_split(text,' ')) AS n_tok_all
+              FROM documents),
+            q AS (
+              SELECT doc_id, lang,
+                     round(
+                       0.4 * least(n_tok / 64.0, 1.0)
+                     + 0.2 * least((CAST(n_chars AS DOUBLE) / greatest(n_tok, 1)) / 8.0, 1.0)
+                     + 0.2 * (1 - least(CAST(n_stop AS DOUBLE) / greatest(n_tok_all, 1) * 4, 1.0))
+                     + 0.2 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1)), 6) AS quality
+              FROM t),
+            r AS (
+              SELECT doc_id, lang, quality,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY quality DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM q)
+            SELECT doc_id, lang, quality FROM r WHERE rn <= ceil(0.9 * n)
+        """,
+        # thresholds/weights are generated from ops.curation.MIX_FRACTIONS so
+        # the Spark op and this SQL can never drift; the md5-prefix keep test
+        # is a lexicographic STRING comparison (identical in both engines —
+        # no hex->int cast whose SQL spelling differs)
+        "cur_stratified_sample": f"""
+            SELECT doc_id, lang, {_mix_weight_case()} AS weight
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_mix_threshold_case()}
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -123,6 +123,19 @@ def main() -> None:
         n_raw <= 1.2 * n_distinct,
     )
 
+    # 8. stratified sample is map-only (no exchange anywhere: the whole
+    # point of hash-based mixing at 10^12 docs); threshold quality filter
+    # broadcasts its per-language thresholds and never sorts rows
+    from shacl_js_spark.ops.curation import quality_threshold_filter, stratified_sample
+
+    raw_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(stratified_sample(raw_docs))
+    check("stratified sample is map-only (no Exchange)", "Exchange" not in p, p)
+    p = plan_of(quality_threshold_filter(raw_docs))
+    check("quality threshold filter broadcasts thresholds",
+          "BroadcastExchange" in p or "BroadcastHashJoin" in p, p)
+    check("quality threshold filter never sorts rows", "Window" not in p, p)
+
     spark.stop()
 
 

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: scale with parallelism)")
     ap.add_argument("--no-validate", action="store_true", help="skip the SHACL validate stage")
+    ap.add_argument("--snapshots", action="store_true",
+                    help="materialize stages via the Iceberg-style snapshot "
+                         "catalog (atomic commits, time travel) instead of "
+                         "_SUCCESS-marker dirs")
     args = ap.parse_args(argv)
     if args.shuffle_partitions is not None and args.shuffle_partitions < 1:
         ap.error("--shuffle-partitions must be >= 1")
@@ -60,7 +64,10 @@ def main(argv=None) -> int:
     from shacl_js_spark.pipeline.materialize import run_pipeline
 
     t0 = time.monotonic()
-    result = run_pipeline(spark, args.input, args.output, validate=not args.no_validate)
+    result = run_pipeline(
+        spark, args.input, args.output,
+        validate=not args.no_validate, snapshots=args.snapshots,
+    )
     # every stage is already materialized (PipelineRunner persists each one),
     # so the wall clock stops HERE — the count() calls below are bookkeeping
     # reads of the written parquet, not pipeline work, and must not depress

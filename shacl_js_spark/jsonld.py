@@ -29,9 +29,12 @@ This covers the subset sufficient for data documents in the wild:
     (subject, predicate, graph-name) link per JSON-LD 1.1 expansion
   * @id references resolve WITHOUT @vocab (vocab applies to terms and
     @type only); relative IRI references resolve against @base (context
-    @base, itself possibly relative to an outer @base, RFC 3986 merge via
-    urljoin); without a @base in scope, relative refs pass through
-    unchanged as before
+    @base, itself possibly relative to an outer @base, RFC 3986 merge —
+    scheme-independent, so non-hierarchical bases like urn:/tag:/did:
+    resolve too, which urllib.urljoin alone would silently skip); without
+    a @base in scope, relative refs pass through unchanged as before.  A
+    relative @base with no outer base stays relative and refs join onto it
+    ("people/" + "alice" -> "people/alice"), matching jsonld.js prependBase
 
 Intentional subset restrictions (stricter than JSON-LD 1.1):
   * @nest values containing @id are rejected ("invalid @nest value") —
@@ -43,10 +46,70 @@ Intentional subset restrictions (stricter than JSON-LD 1.1):
 from __future__ import annotations
 
 import json
-from urllib.parse import urljoin
+from urllib.parse import urljoin, urlsplit
 
 from .terms import Term, XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, bnode, iri, literal
 from .turtle import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, Triple
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out.append("")
+        elif seg != ".":
+            out.append(seg)
+    # trailing "." / ".." keep the slash they collapsed
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def resolve_iri(base: str, ref: str) -> str:
+    """RFC 3986 §5 reference resolution, scheme-independent.
+
+    urllib.parse.urljoin only merges when the base's scheme is registered in
+    `uses_relative` — for urn:/tag:/did: bases it silently drops the base
+    (code-review r5 finding), and placeholder-scheme tricks mangle rootless
+    paths ('tag:x' -> 'tag:///x').  RFC 3986 resolution does not depend on
+    the scheme, so unregistered schemes get the §5.3 algorithm directly;
+    hierarchical (http/https/file/ftp and scheme-less) bases keep the stdlib
+    fast path, whose output this matches."""
+    if not base:
+        return ref
+    if urlsplit(ref).scheme:  # absolute ref: base never applies (§5.2.2)
+        return ref
+    scheme = urlsplit(base).scheme
+    if not scheme or scheme in ("http", "https", "file", "ftp"):
+        return urljoin(base, ref)
+    # --- §5.3 target composition for a non-hierarchical base ---
+    b_rest = base[len(scheme) + 1 :]
+    b_frag = b_rest.split("#", 1)[0]
+    b_path, b_query = (b_frag.split("?", 1) + [None])[:2]
+    r_frag = None
+    r = ref
+    if "#" in r:
+        r, r_frag = r.split("#", 1)
+    r_path, r_query = (r.split("?", 1) + [None])[:2]
+    if r_path.startswith("//"):  # ref supplies its own authority
+        t = r_path if r_query is None else f"{r_path}?{r_query}"
+    elif r_path == "":
+        q = r_query if r_query is not None else b_query
+        t = b_path if q is None else f"{b_path}?{q}"
+    else:
+        if r_path.startswith("/"):
+            merged = _remove_dot_segments(r_path)
+        elif "/" in b_path:
+            merged = _remove_dot_segments(b_path.rsplit("/", 1)[0] + "/" + r_path)
+        else:  # rootless base path with no slash: ref replaces it (merge = ref)
+            merged = _remove_dot_segments(r_path)
+        t = merged if r_query is None else f"{merged}?{r_query}"
+    out = f"{scheme}:{t}"
+    return out if r_frag is None else f"{out}#{r_frag}"
 
 
 class JsonLdError(ValueError):
@@ -100,8 +163,10 @@ class _Parser:
                 elif not isinstance(v, str):
                     raise JsonLdError(f"invalid @base: {v!r}")
                 else:
-                    # a relative @base resolves against the outer base
-                    self.base = urljoin(self.base, v) if self.base else v
+                    # a relative @base resolves against the outer base; with
+                    # no outer base it stays relative (jsonld.js parity —
+                    # refs then join onto the relative base)
+                    self.base = resolve_iri(self.base, v) if self.base else v
             elif v is None:
                 self.ctx.pop(k, None)
             elif isinstance(v, str):
@@ -169,7 +234,7 @@ class _Parser:
         # resolve against @base per RFC 3986 (JSON-LD §5.2 IRI expansion);
         # with no base in scope a relative ref passes through unchanged
         if doc_relative and self.base and not key.startswith("@"):
-            return urljoin(self.base, key)
+            return resolve_iri(self.base, key)
         return key
 
     def _node_term(self, ref: str, vocab: bool = False) -> Term:

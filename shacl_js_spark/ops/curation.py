@@ -206,3 +206,104 @@ def pack_sequences_partitioned(
         )
     finally:
         parted.unpersist()
+
+
+# --- quality-percentile filtering + stratified sampling (data mixing) ---------
+
+# default per-language mixing fractions for stratified_sample: the shape of a
+# real pretraining mix (keep all high-resource English, downsample the rest)
+MIX_FRACTIONS: dict[str, float] = {"en": 1.0, "de": 0.5, "es": 0.75, "fr": 0.25, "zh": 0.1}
+
+
+def _mix_hex_threshold(frac: float) -> str:
+    """Keep-threshold for an 8-hex-digit md5 prefix compared LEXICOGRAPHICALLY:
+    lowercase fixed-width hex orders identically to its numeric value, so both
+    Spark and DuckDB evaluate the same string comparison — no hex->int cast
+    (whose SQL spelling differs between engines) anywhere.  frac>=1 returns
+    "g", which sorts after every hex digit (keep all)."""
+    if frac >= 1.0:
+        return "g"
+    return format(max(int(frac * 16**8), 0), "08x")
+
+
+def quality_percentile_filter(df: DataFrame, keep_frac: float = 0.9) -> DataFrame:
+    """Keep the top `keep_frac` fraction of documents PER LANGUAGE by quality
+    score (deterministic tie-break: higher quality first, then doc_id) ->
+    (doc_id, lang, quality).  The per-language cutoff adapts to each
+    language's score distribution — a fixed global threshold would silently
+    drop whole low-scoring languages (the classic quality-filter mistake).
+
+    This exact-rank form is the oracle twin: the per-lang window sort is fine
+    up to ~billions of rows per language but serializes one sort per language
+    partition.  quality_threshold_filter is the 100 TB path (approx-quantile
+    thresholds, map-only filter; no per-row window anywhere)."""
+    from .text import quality_score
+
+    scored = quality_score(df).join(df.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    n = Window.partitionBy("lang")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(n))
+        .filter(F.col("_rn") <= F.ceil(F.lit(keep_frac) * F.col("_n")))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def quality_threshold_filter(
+    df: DataFrame, keep_frac: float = 0.9, accuracy: int = 10000
+) -> DataFrame:
+    """Scale path for quality_percentile_filter: per-language approx-quantile
+    thresholds (partial-aggregated, one tiny groupBy over ~#languages keys),
+    broadcast back, map-only filter.  Same semantics up to approx-quantile
+    error at the boundary; NEVER sorts rows.  At 10^12 docs the percentile
+    variant's per-lang window is a per-language total sort — this one is a
+    scan + broadcast join."""
+    from .text import quality_score
+
+    scored = quality_score(df).join(df.select("doc_id", "lang"), "doc_id")
+    thr = scored.groupBy("lang").agg(
+        F.percentile_approx("quality", 1.0 - keep_frac, accuracy).alias("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, fractions: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic hash-based stratified sample for data mixing ->
+    (doc_id, lang, weight).  A document is kept iff the first 8 hex chars of
+    md5(doc_id) sort below its language's threshold; weight = 1/frac is the
+    importance weight that makes downstream statistics unbiased.
+
+    Map-only and engine-reproducible: no RNG, no shuffle, no state — the
+    same doc survives in every run, on every engine, at any parallelism
+    (exactly what a resumable 10^12-doc mixing job needs; Spark's
+    df.sampleBy is neither deterministic across retries nor portable to an
+    oracle).  Languages absent from `fractions` are dropped (threshold ""
+    sorts before every hex digit)."""
+    fractions = MIX_FRACTIONS if fractions is None else fractions
+    base = df.select("doc_id", "lang")
+    thr = None
+    weight = None
+    for lang in sorted(fractions):
+        frac = fractions[lang]
+        if frac <= 0:  # explicit zero = drop the language (no 1/0 weight)
+            continue
+        t, w = F.lit(_mix_hex_threshold(frac)), F.lit(round(1.0 / frac, 6))
+        cond = F.col("lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        weight = F.when(cond, w) if weight is None else weight.when(cond, w)
+    if thr is None:  # every fraction <= 0: nothing survives
+        return base.withColumn("weight", F.lit(0.0)).limit(0)
+    return (
+        base.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+            < thr.otherwise(F.lit(""))
+        )
+        .withColumn("weight", weight)
+    )

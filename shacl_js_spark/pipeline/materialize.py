@@ -141,8 +141,19 @@ ex:DocumentShape a sh:NodeShape ;
 """
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str, validate: bool = True):
-    """Full north-rule pipeline; returns dict of stage DataFrames + report."""
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    validate: bool = True,
+    snapshots: bool = False,
+):
+    """Full north-rule pipeline; returns dict of stage DataFrames + report.
+
+    snapshots=True materializes each stage through the Iceberg-style
+    SnapshotCatalog (atomic pointer-swap commits, time-travel, rollback —
+    pipeline/snapshots.py) instead of the _SUCCESS-marker PipelineRunner;
+    the stage graph and resume contract are identical."""
     from ..localgraph import LocalGraph
     from ..validation import Engine
     from .canonicalize import alias_edges, canonicalize_triples, connected_components
@@ -151,7 +162,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str, validate: bool 
     from .link import link_entities
     from .synth import interleaved_documents
 
-    runner = PipelineRunner(spark, out_dir)
+    if snapshots:
+        from .snapshots import SnapshotRunner
+
+        runner = SnapshotRunner(spark, out_dir)
+    else:
+        runner = PipelineRunner(spark, out_dir)
     docs = runner.run("documents", lambda: interleaved_documents(spark, sf_dir))
     mentions = runner.run("mentions", lambda: extract_mentions(spark, docs))
     links = runner.run("links", lambda: link_entities(spark, mentions))

@@ -724,8 +724,18 @@ class Engine:
         shapes sharing a frame share one logically-identical mapping (both
         derive from the same memoized parent value frame)."""
         group = pool.get(id(frame))
-        if group is None or group[0] is not frame:
+        if group is None:
             pool[id(frame)] = [frame, self._pool_mapping, list(entries)]
+        elif group[0] is not frame:
+            # unreachable while the pool holds a strong ref to group[0]
+            # (live id() collision impossible in CPython) — but if a future
+            # change ever breaks that invariant, silently REPLACING the
+            # group would drop already-pooled shapes' violation rows from
+            # the report; fail loudly instead (code-review r5)
+            raise ShaclValidationError(
+                "fusion pool identity collision: two live frames share id(); "
+                "pool keying must be made collision-safe"
+            )
         else:
             group[2].extend(entries)
 

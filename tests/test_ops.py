@@ -367,3 +367,60 @@ def test_dup_clusters_transitive(spark):
         (int(r["entity_id"]), int(r["canonical_id"])) for r in m.collect()
     }
     assert got_dist == expected
+
+
+def test_quality_percentile_filter_per_lang(spark, docs):
+    from shacl_js_spark.ops.curation import (
+        quality_percentile_filter,
+        quality_threshold_filter,
+    )
+
+    kept = quality_percentile_filter(docs, keep_frac=0.8)
+    per_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    import math
+
+    # exact rank semantics: ceil(0.8 * n) kept per language (IEEE double, as
+    # both engines compute it)
+    for lang, n in per_lang.items():
+        assert kept_lang[lang] == math.ceil(0.8 * n), lang
+    # the threshold (scale) path agrees with the exact path up to quantile
+    # boundary ties: everything strictly above each lang's cutoff is kept
+    thr = quality_threshold_filter(docs, keep_frac=0.8)
+    exact_ids = {r["doc_id"] for r in kept.collect()}
+    thr_ids = {r["doc_id"] for r in thr.collect()}
+    cutoffs = {
+        r["lang"]: r["m"]
+        for r in kept.groupBy("lang").agg(F.min("quality").alias("m")).collect()
+    }
+    from shacl_js_spark.ops.text import quality_score
+
+    scored = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    for row in scored.collect():
+        if row["quality"] > cutoffs[row["lang"]]:
+            assert row["doc_id"] in exact_ids
+            assert row["doc_id"] in thr_ids, (row["doc_id"], row["quality"])
+
+
+def test_stratified_sample_deterministic_and_weighted(spark, docs):
+    from shacl_js_spark.ops.curation import MIX_FRACTIONS, stratified_sample
+
+    s1 = {(r["doc_id"], r["lang"], r["weight"]) for r in stratified_sample(docs).collect()}
+    s2 = {(r["doc_id"], r["lang"], r["weight"]) for r in stratified_sample(docs).collect()}
+    assert s1 == s2 and s1  # reproducible, non-empty
+    # per-lang keep rates near the requested fractions (md5 uniformity);
+    # weights are exactly 1/frac
+    n_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {}
+    for doc_id, lang, w in s1:
+        assert w == round(1.0 / MIX_FRACTIONS[lang], 6)
+        kept[lang] = kept.get(lang, 0) + 1
+    assert kept.get("en", 0) == n_lang["en"]  # frac 1.0 keeps everything
+    for lang, frac in MIX_FRACTIONS.items():
+        if lang == "en" or n_lang.get(lang, 0) < 20:
+            continue
+        rate = kept.get(lang, 0) / n_lang[lang]
+        assert abs(rate - frac) < 0.35, (lang, rate, frac)  # tiny-corpus tolerance
+    # zero fraction drops the language entirely, without a 1/0 weight
+    none_kept = stratified_sample(docs, {"en": 0.0})
+    assert none_kept.count() == 0

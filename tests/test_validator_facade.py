@@ -425,6 +425,38 @@ def test_jsonld_base_scoping_and_null(spark):
     assert subjects == {"http://b.example/dir/x", "still-relative"}
 
 
+def test_resolve_iri_non_hierarchical_schemes():
+    # RFC 3986 resolution is scheme-independent; urljoin alone silently
+    # drops urn:/tag:/did: bases (code-review r5) — the manual §5.3 branch
+    # must merge them, and keep stdlib parity for hierarchical bases
+    from shacl_js_spark.jsonld import resolve_iri
+
+    assert resolve_iri("tag:example,2024:", "x") == "tag:x"
+    assert resolve_iri("urn:isbn:0451450523", "x") == "urn:x"
+    assert resolve_iri("did:ex:123/path/", "y") == "did:ex:123/path/y"
+    assert resolve_iri("urn:x:y/z/", "../w") == "urn:x:y/w"
+    assert resolve_iri("tag:base:", "#frag") == "tag:base:#frag"
+    assert resolve_iri("urn:a:b", "urn:c:d") == "urn:c:d"  # absolute ref wins
+    assert resolve_iri("urn:a/b?q=1", "") == "urn:a/b?q=1"
+    assert resolve_iri("urn:a/b", "?q=2") == "urn:a/b?q=2"
+    assert resolve_iri("http://a/b/c", "../d") == "http://a/d"  # stdlib path
+    assert resolve_iri("people/", "alice") == "people/alice"  # relative base
+    assert resolve_iri("", "x") == "x"
+
+
+def test_jsonld_urn_base_resolves_relative_ids(spark):
+    # a non-hierarchical @base (urn:) must still base-resolve relative @ids
+    from shacl_js_spark.jsonld import parse_jsonld
+
+    doc = """
+    {"@context": {"@base": "urn:corp:records/", "@vocab": "http://v/"},
+     "@id": "r1", "@type": "Record", "next": {"@id": "r2"}}
+    """
+    trips, _ = parse_jsonld(doc)
+    by_pred = {p.value: (s.value, o.value) for (s, p, o) in trips}
+    assert by_pred["http://v/next"] == ("urn:corp:records/r1", "urn:corp:records/r2")
+
+
 def test_jsonld_prefix_map_skips_keyword_aliases(spark):
     # a term aliased to a keyword ("address": "@nest") is syntax, not a
     # namespace prefix — prefix_map must not emit address -> "@nest"
