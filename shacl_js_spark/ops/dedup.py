@@ -328,8 +328,15 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    # SHUFFLE_HASH hint on the size side: at 10x scale the planner's size
+    # estimate inverted and tried to BROADCAST the pair frame (observed:
+    # 4g-driver broadcast OOM at sf1's ~1e8 pairs).  A broadcast hint on
+    # `sizes` would fix the gate but not the design — sizes is one row per
+    # document, corpus-sized at 10^12 docs.  Shuffle-hash keys both sides
+    # on a/b and builds the hash table from the narrow size rows per
+    # partition: correct at any corpus size, no driver-side build.
     return (
-        shared.join(na, "a").join(nb, "b")
+        shared.join(na.hint("shuffle_hash"), "a").join(nb.hint("shuffle_hash"), "b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
