@@ -2186,23 +2186,27 @@ def oracle_sql() -> dict[str, str]:
             FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
         """,
         "dedup_clusters": f"""
-            WITH RECURSIVE sigs AS ({_minhash_sql()}),
-            banded AS (
+            WITH RECURSIVE sigs AS MATERIALIZED ({_minhash_sql()}),
+            banded AS MATERIALIZED (
               {' UNION ALL '.join(
                   "SELECT doc_id, %d AS band, md5(CAST(mh_%d AS VARCHAR) || '_' || CAST(mh_%d AS VARCHAR)) AS bucket FROM sigs"
                   % (b, 2 * b, 2 * b + 1)
                   for b in range(LSH_BANDS)
               )}
             ),
-            keep AS (SELECT band, bucket FROM banded
+            keep AS MATERIALIZED (SELECT band, bucket FROM banded
                      GROUP BY band, bucket HAVING count(*) <= {MAX_LSH_BUCKET}),
-            kept AS (SELECT banded.* FROM banded JOIN keep USING (band, bucket)),
-            pairs AS (
+            kept AS MATERIALIZED (SELECT banded.* FROM banded JOIN keep USING (band, bucket)),
+            pairs AS MATERIALIZED (
               SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
               FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
             ),
-            und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-            nodes AS (SELECT DISTINCT src AS n FROM und),
+            -- MATERIALIZED throughout: DuckDB inlines CTEs by default, and a
+            -- non-materialized CTE referenced from a recursive term is
+            -- re-evaluated EVERY iteration — the whole minhash+LSH pipeline
+            -- re-ran per lp round (observed: 28+ min; materialized: ~6 s)
+            und AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM und),
             -- iterative min-label propagation, O(E * diameter): each round a
             -- node receives the min label on its frontier; the component min
             -- walks outward BFS-style and the final per-node min equals the
