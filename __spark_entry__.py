@@ -858,7 +858,13 @@ def q_dash_uniquevalueforclass(spark, sf_dir):
     cust = _pq(spark, sf_dir, "customer")
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
-    phone = (F.col("c_custkey") % 100).cast("string")
+    # SCALE-AWARE collision planting: a fixed %100 makes group size grow
+    # with the corpus, so the (focus, value) violation OUTPUT is quadratic
+    # (22.5e9 rows at sf1 — the row silently OOMed at scale in r4/r5).
+    # modulus = n/15 keeps groups at ~15 members at EVERY sf, linear output;
+    # at sf0.01 (1500 customers) this is exactly the old %100.
+    mod = max(1, cust.count() // 15)
+    phone = (F.col("c_custkey") % mod).cast("string")
     data = _iri_triple(cust, c_iri, rdf_type, F.lit(EX + "Customer")).unionByName(
         _lit_triple(cust, c_iri, EX + "phone", phone)
     )
@@ -2073,10 +2079,11 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_totalprice > 350000)
         """,
         "dash_uniquevalueforclass": """
+            WITH m AS (SELECT greatest(count(*) // 15, 1) AS md FROM customer)
             SELECT 'http://ex/c/' || CAST(a.c_custkey AS VARCHAR) AS focus,
-                   CAST(a.c_custkey % 100 AS VARCHAR) AS value
+                   CAST(a.c_custkey % (SELECT md FROM m) AS VARCHAR) AS value
             FROM customer a JOIN customer b
-              ON a.c_custkey % 100 = b.c_custkey % 100
+              ON a.c_custkey % (SELECT md FROM m) = b.c_custkey % (SELECT md FROM m)
              AND a.c_custkey <> b.c_custkey
         """,
         "dash_functions": """

@@ -1499,10 +1499,14 @@ def _impl_uniquevalueforclass(eng, shape, c, targets, values):
         raise ShaclValidationError(
             "dash:uniqueValueForClass requires a simple predicate path"
         )
+    # instance frame is one row per class member — corpus-sized, NOT
+    # broadcastable at scale (observed: 4g-driver heap OOM broadcasting
+    # 1.5M instance IRIs at sf1); shuffle-hash keys both sides on the
+    # subject and builds the per-partition hash from the instance rows
     instances = eng.class_instances_df(c.param_value, "node").select("node")
     others = (
         eng.trips(f"<{shape.path.pred}>")
-        .join(F.broadcast(instances), F.col("t_s") == F.col("node"), "left_semi")
+        .join(instances.hint("shuffle_hash"), F.col("t_s") == F.col("node"), "left_semi")
         .select(F.col("t_s").alias("_other"), F.col("t_o").alias("_oval"))
     )
     fail = values.join(
