@@ -244,6 +244,7 @@ def _shacl_violations(spark, sf_dir, shapes_ttl: str) -> DataFrame:
     engine = Engine(
         spark, data, LocalGraph.from_turtle(shapes_ttl),
         subclass_edges={f"<{EX}BigCustomer>": [f"<{EX}VIP>"]},
+        persist_values=False,  # one-shot report: frames are read <=2x (r6)
     )
     return engine.report_df()
 
@@ -357,7 +358,8 @@ ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
 """
     # this graph has no rdfs:subClassOf edges — say so, instead of having
     # the engine scan+collect to discover it
-    engine = Engine(spark, data, LocalGraph.from_turtle(ttl), subclass_edges={})
+    engine = Engine(spark, data, LocalGraph.from_turtle(ttl), subclass_edges={},
+                    persist_values=False)
     return engine.report_df().select(
         F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex")
     )
@@ -497,7 +499,8 @@ def _tag_triples(spark, sf_dir) -> DataFrame:
 
 def _tag_violations(spark, sf_dir, ttl_body: str) -> DataFrame:
     data = _cached_triples("tag_triples", spark, sf_dir, lambda: _tag_triples(spark, sf_dir))
-    return Engine(spark, data, LocalGraph.from_turtle(_SHAPES_PREFIX + ttl_body)).report_df()
+    return Engine(spark, data, LocalGraph.from_turtle(_SHAPES_PREFIX + ttl_body),
+                  persist_values=False).report_df()
 
 
 def q_shacl_equals(spark, sf_dir):
@@ -569,7 +572,8 @@ def q_shacl_nodekind(spark, sf_dir):
 ex:OrderShape a sh:NodeShape ; sh:targetClass ex:Order ;
   sh:property [ sh:path ex:ref ; sh:nodeKind sh:IRI ] .
 """
-    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
 
 
@@ -603,7 +607,8 @@ def q_shacl_lessthan(spark, sf_dir):
 ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
   sh:property [ sh:path ex:qty ; sh:lessThan ex:tax ] .
 """
-    v = Engine(spark, data, LocalGraph.from_turtle(ttl), subclass_edges={}).report_df()
+    v = Engine(spark, data, LocalGraph.from_turtle(ttl), subclass_edges={},
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex"))
 
 
@@ -618,7 +623,8 @@ def q_shacl_lessthanorequals(spark, sf_dir):
 ex:LineShape a sh:NodeShape ; sh:targetClass ex:Line ;
   sh:property [ sh:path ex:qty ; sh:lessThanOrEquals ex:tax ] .
 """
-    v = Engine(spark, data, LocalGraph.from_turtle(ttl), subclass_edges={}).report_df()
+    v = Engine(spark, data, LocalGraph.from_turtle(ttl), subclass_edges={},
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("line"), F.col("value_v").alias("qty_lex"))
 
 
@@ -645,7 +651,8 @@ def q_shacl_datatype(spark, sf_dir):
 ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
   sh:property [ sh:path ex:bal ; sh:datatype xsd:integer ] .
 """
-    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
 
 
@@ -729,7 +736,8 @@ def q_dash_coexistswith(spark, sf_dir):
 ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
   sh:property [ sh:path ex:order ; dash:coExistsWith ex:nick ] .
 """
-    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"))
 
 
@@ -741,7 +749,8 @@ def q_dash_subsetof(spark, sf_dir):
 ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
   sh:property [ sh:path ex:tag2 ; dash:subSetOf ex:tag1 ] .
 """
-    v = Engine(spark, data, LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data, LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
 
 
@@ -819,7 +828,8 @@ def q_dash_nonrecursive(spark, sf_dir):
 ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
   sh:property [ sh:path ex:knows ; dash:nonRecursive true ] .
 """
-    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"))
 
 
@@ -846,7 +856,8 @@ def q_dash_hasvaluewithclass(spark, sf_dir):
 ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
   sh:property [ sh:path ex:order ; dash:hasValueWithClass ex:BigOrder ] .
 """
-    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"))
 
 
@@ -872,7 +883,8 @@ def q_dash_uniquevalueforclass(spark, sf_dir):
 ex:CustShape a sh:NodeShape ; sh:targetClass ex:Customer ;
   sh:property [ sh:path ex:phone ; dash:uniqueValueForClass ex:Customer ] .
 """
-    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl)).report_df()
+    v = Engine(spark, data.persist(), LocalGraph.from_turtle(ttl),
+               persist_values=False).report_df()
     return v.select(F.col("focus_v").alias("focus"), F.col("value_v").alias("value"))
 
 
@@ -1046,8 +1058,20 @@ def q_kg_triples_full(spark, sf_dir):
 
 # --- dedup -------------------------------------------------------------------
 
+def _docs_par(spark, sf_dir) -> DataFrame:
+    """documents.parquet spread across the cluster.  The driver file is a
+    single row group, so a bare read gives ONE scan split and every map-side
+    stage of the dedup path (shingle explosion, hashing, banding) runs on a
+    single core; the round-robin repartition costs one tiny shuffle of the
+    raw doc rows and buys full-width parallelism for the expensive
+    explosions (r6; at 100 TB the scan itself is already split and this
+    repartition is a no-op by size — same rationale as _customer_triples)."""
+    par = spark.sparkContext.defaultParallelism
+    return _pq(spark, sf_dir, "documents").repartition(par)
+
+
 def q_dedup_exact(spark, sf_dir):
-    docs = _pq(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     key = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4))
     g = exact_dedup_groups(docs, key)
     return g.select(
@@ -1059,14 +1083,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    docs = _pq(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return minhash_signatures(docs).select(
         "doc_id", *[F.col(f"mh_{i}").cast("bigint").alias(f"mh_{i}") for i in range(N_HASHES)]
     )
 
 
 def q_dedup_lsh_pairs(spark, sf_dir):
-    docs = _pq(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sigs = minhash_signatures(docs)
     return lsh_candidate_pairs(sigs).select(
         F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
@@ -1084,12 +1108,12 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    docs = _pq(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return simhash(docs).select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = _pq(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=None).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
@@ -1129,7 +1153,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_dedup_verified_jaccard(spark, sf_dir):
-    docs = _pq(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     return minhash_jaccard_pairs(docs, threshold=0.5).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),

@@ -47,21 +47,29 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """n-gram (token-level) shingles, distinct per doc.  Documents shorter
-    than n tokens contribute one clamped shingle (the floor of 1 in the
-    sequence end also prevents a descending sequence(1,0), whose 0 start
-    index crashes slice())."""
+def shingle_array(n: int = 3, text_col: str = "text"):
+    """Column expr: per-doc array of DISTINCT non-empty n-gram shingles.
+    Documents shorter than n tokens contribute one clamped shingle (the
+    floor of 1 in the sequence end also prevents a descending sequence(1,0),
+    whose 0 start index crashes slice())."""
     toks = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return (
-        df.select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    return F.array_distinct(F.filter(sh, lambda s: s != ""))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """n-gram (token-level) shingles, distinct per doc.
+
+    r6: the per-doc dedup runs MAP-SIDE (array_distinct over the per-row
+    shingle array) instead of a global .distinct() — (doc_id, shingle)
+    distinct is exactly per-doc distinct, so the old corpus-wide dedup
+    SHUFFLE (the largest frame of the dedup path crossing the wire once
+    per consumer) bought nothing.  Downstream groupBys now read a narrow
+    map-side frame and do their own single shuffle."""
+    return df.select("doc_id", F.explode(shingle_array(n, text_col)).alias("shingle"))
 
 
 # --- exact -----------------------------------------------------------------
@@ -245,7 +253,9 @@ def minhash_jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_n: int 
     try:
         sigs = minhash_signatures(df, shingle_n=shingle_n, shingles_df=sh)
         cands = lsh_candidate_pairs(sigs)
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        # map-side set sizes off the shingle array (r6) — see
+        # ngram_jaccard_pairs; avoids re-shuffling the shingle frame
+        sizes = df.select("doc_id", F.size(shingle_array(shingle_n)).alias("n"))
         # count shared shingles via join on shingle, restricted to LSH candidates
         a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
         b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -310,7 +320,11 @@ def ngram_jaccard_pairs(
     sh = shingles(df, n)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # per-doc shingle-set size MAP-SIDE from the same array expression the
+    # shingle frame explodes (r6): the old groupBy("doc_id") re-shuffled the
+    # full shingle frame a second time to count rows that size() reads off
+    # the per-row array for free
+    sizes = df.select("doc_id", F.size(shingle_array(n)).alias("n"))
     # pair generation: group each surviving shingle's doc list (bounded by
     # max_df because the df-cap semi-join runs FIRST — the collect_list
     # buffer can never exceed max_df ids) and explode ordered pairs

@@ -108,10 +108,16 @@ def emit_triples(
     parts.append(_triple(ents, ent_iri, RDF_TYPE, _iri_cols(F.lit(EX + "Entity"))))
     parts.append(_triple(ents, ent_iri, RDFS_LABEL, _lit_cols(F.col("surface"))))
 
-    # media spans
+    # media spans: filter the ARRAY before exploding — text spans are 2/3 of
+    # all spans and carry the heavy text payload strings; exploding them into
+    # rows only to filter them out dominated this branch's cost (explode-
+    # then-filter and filter-then-explode emit the same media rows, order
+    # within a doc preserved; no positional index is used here)
     media = (
-        docs.select("doc_id", F.explode("spans").alias("span"))
-        .filter(F.col("span.kind") != "text")
+        docs.select(
+            "doc_id",
+            F.explode(F.filter("spans", lambda s: s["kind"] != "text")).alias("span"),
+        )
         .select(
             "doc_id",
             F.col("span.media_ref").alias("media_ref"),

@@ -472,12 +472,20 @@ class Engine:
         if path.kind in ("zeroOrMore", "oneOrMore"):
             child = path.children[0]
             if path.kind == "zeroOrMore":
-                acc = df.dropDuplicates(["focus", "cur"])
+                base = df.dropDuplicates(["focus", "cur"])
             else:
-                acc = self._walk(child, df).dropDuplicates(["focus", "cur"])
-            frontier = acc
+                base = self._walk(child, df).dropDuplicates(["focus", "cur"])
             # iterative fixpoint join with per-round checkpointing
-            # (SURVEY.md §4 custom machinery #1; cycle guard = the anti-join)
+            # (SURVEY.md §4 custom machinery #1; cycle guard = the anti-join).
+            # r6: only FRONTIERS are checkpointed; acc stays a lazy union of
+            # already-checkpointed frontiers, so each round runs 1 checkpoint
+            # job + 1 cheap isEmpty over materialized partitions instead of
+            # also re-materializing the whole accumulated set per round
+            # (2 jobs/round saved; the union plan grows by one scan per
+            # round, bounded by the traversal depth, and every leg is a
+            # checkpoint scan so lineage stays flat).
+            frontier = cut_lineage(base)
+            acc = frontier
             while True:
                 frontier = cut_lineage(
                     self._walk(child, frontier)
@@ -486,7 +494,7 @@ class Engine:
                 )
                 if frontier.isEmpty():
                     break
-                acc = cut_lineage(acc.unionByName(frontier))
+                acc = acc.unionByName(frontier)
             return acc
         raise ValueError(f"unknown path kind {path.kind}")
 
