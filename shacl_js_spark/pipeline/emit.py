@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph import TRIPLE_FIELDS, ordered_pairs
+from ..graph import TRIPLE_FIELDS, ensure_object_agg_headroom, ordered_pairs
 from ..terms import NAMESPACES
 
 EX = "http://example.org/kg#"
@@ -72,6 +72,9 @@ def _triple(df, s_col, p_iri: str, o_cols) -> DataFrame:
 def emit_triples(
     spark: SparkSession, docs: DataFrame, links: DataFrame
 ) -> DataFrame:
+    # the doc->entity collect_set below has lexicon-bounded buffers; keep it
+    # an actual hash aggregation instead of the default 128-key sort fallback
+    ensure_object_agg_headroom(spark)
     doc_iri = F.concat(F.lit(EX + "doc/"), F.col("doc_id"))
     ent_iri = F.concat(F.lit(EX + "entity/"), F.col("entity_id"))
 

@@ -348,11 +348,19 @@ class Engine:
         encs = list(self.data_subclasses(cls.encoded()) | {cls.encoded()})
         out = self.data.filter(
             (F.col("p") == RDF_TYPE_ENC) & F.col("o").isin(encs)
-        ).select(*subject_decomposed("s", prefix))
+        )
         # callers that union several target pieces dedup once at the end
         # (dedup=False) — stacking a per-piece dedup under the union dedup
-        # costs an extra sort-aggregate pass over the same rows
-        return out.dropDuplicates([prefix]) if dedup else out
+        # costs an extra aggregate pass over the same rows.
+        # r6: dedup BEFORE decomposing — the 4 derived columns are pure
+        # functions of the encoded subject, so deduping the single encoded
+        # column (a HashAggregate with no aggregate buffers) and decomposing
+        # after replaces a SortAggregate that carried 4 first(string) buffers
+        # through a 5-column-wide exchange.
+        if dedup:
+            out = out.select(F.col("s").alias(prefix)).dropDuplicates([prefix])
+            return out.select(*subject_decomposed(prefix, prefix))
+        return out.select(*subject_decomposed("s", prefix))
 
     # --------------------------------------------------------------- targets
     def targets_frame(self, shape: Shape) -> DataFrame:
@@ -382,6 +390,34 @@ class Engine:
         return out
 
     def _targets_frame_uncached(self, spec) -> DataFrame:
+        # fast path (r6): when every target piece is subject-derived
+        # (targetClass / targetSubjectsOf), the 4 decomposed columns are pure
+        # functions of the encoded subject — union the 1-column encoded
+        # frames, distinct on that single column (HashAggregate, no
+        # first(string) buffers, narrow exchange), decompose once after.
+        # Node/objectsOf targets carry literal dt/lang that cannot be
+        # re-derived from the encoded form, so they keep the 5-column dedup.
+        if not spec.nodes and not spec.objects_of and (spec.classes or spec.subjects_of):
+            enc_pieces: list[DataFrame] = []
+            for cls in spec.classes:
+                encs = list(self.data_subclasses(cls.encoded()) | {cls.encoded()})
+                enc_pieces.append(
+                    self.data.filter(
+                        (F.col("p") == RDF_TYPE_ENC) & F.col("o").isin(encs)
+                    ).select(F.col("s").alias("focus"))
+                )
+            for pred in spec.subjects_of:
+                enc_pieces.append(
+                    self.data.filter(F.col("p") == pred.encoded()).select(
+                        F.col("s").alias("focus")
+                    )
+                )
+            out = enc_pieces[0]
+            for p in enc_pieces[1:]:
+                out = out.unionByName(p)
+            return out.dropDuplicates(["focus"]).select(
+                *subject_decomposed("focus", "focus")
+            )
         pieces: list[DataFrame] = []
         for cls in spec.classes:
             pieces.append(self.class_instances_df(cls, dedup=False))
