@@ -104,15 +104,16 @@ def _cached_input(name: str, spark: SparkSession, sf_dir: str, build) -> DataFra
 
 
 def _cached_triples(name: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
-    """Triple-graph inputs are persisted HASH-PARTITIONED BY SUBJECT (the
-    SURVEY §4 partitioning design): the engine's joins key on the focus/
-    subject term, and a cached frame's outputPartitioning is visible to the
-    planner, so every s-keyed join and groupBy downstream reuses the cached
-    partitioning instead of re-shuffling (measured 1.4-1.9x on warm
-    validations at sf0.1).  At cluster scale this is the same win as
-    bucketing the triple table by s."""
-    par = spark.sparkContext.defaultParallelism
-    return _cached_input(name, spark, sf_dir, lambda: build().repartition(par, "s"))
+    """Shared persisted triple-graph inputs.
+
+    r6: the r5 design additionally hash-partitioned the cache by subject so
+    downstream s-keyed joins could reuse the partitioning — but in this
+    Spark version a cached plan's outputPartitioning is NOT exposed to the
+    outer planner (AQE-planned InMemoryRelation), so every keyed join/agg
+    re-exchanges regardless (verified: groupBy on the exact cache key still
+    plans an Exchange).  The build-time s-shuffle of the widest frame in
+    each query family was therefore pure cost on the cold path; dropped."""
+    return _cached_input(name, spark, sf_dir, build)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,15 +950,21 @@ def q_rdf_path_seq(spark, sf_dir):
 def q_rdf_path_zero_or_more(spark, sf_dir):
     # parent chain: customer -inNation-> nation -inRegion-> region, as one
     # 'parent' predicate; zeroOrMore reachability from each customer
-    cust = _pq(spark, sf_dir, "customer")
-    nat = _pq(spark, sf_dir, "nation")
-    c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
-    n_of_c = F.concat(F.lit(EX + "n/"), F.col("c_nationkey").cast("string"))
-    n_iri = F.concat(F.lit(EX + "n/"), F.col("n_nationkey").cast("string"))
-    r_iri = F.concat(F.lit(EX + "r/"), F.col("n_regionkey").cast("string"))
-    data = _iri_triple(cust, c_iri, EX + "parent", n_of_c).unionByName(
-        _iri_triple(nat, n_iri, EX + "parent", r_iri)
-    )
+    def build():
+        cust = _pq(spark, sf_dir, "customer")
+        nat = _pq(spark, sf_dir, "nation")
+        c_iri = F.concat(F.lit(EX + "c/"), F.col("c_custkey").cast("string"))
+        n_of_c = F.concat(F.lit(EX + "n/"), F.col("c_nationkey").cast("string"))
+        n_iri = F.concat(F.lit(EX + "n/"), F.col("n_nationkey").cast("string"))
+        r_iri = F.concat(F.lit(EX + "r/"), F.col("n_regionkey").cast("string"))
+        return _iri_triple(cust, c_iri, EX + "parent", n_of_c).unionByName(
+            _iri_triple(nat, n_iri, EX + "parent", r_iri)
+        )
+
+    # r6: cache like the other path queries' geo_triples — the zeroOrMore
+    # fixpoint re-reads the data frame once per round, so an uncached input
+    # re-scanned parquet and rebuilt the triple projection every round
+    data = _cached_triples("parent_triples", spark, sf_dir, build)
     p = Path("zeroOrMore", children=(Path("pred", pred=EX + "parent"),))
     q = RDFQueryDF(spark, data).match("?x", f"<{EX}parent>", None).distinct().path("?x", p, "?y")
     return q.sols.select(F.col("x_v").alias("start"), F.col("y_v").alias("reached"))

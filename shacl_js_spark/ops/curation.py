@@ -81,21 +81,27 @@ def repetition_stats(df: DataFrame) -> DataFrame:
 
 
 def _ngram_hashes(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, h): md5-prefix hash of each n-token shingle (portable)."""
-    toks = F.split(F.col("text"), " ")
+    """(doc_id, h): md5-prefix hash of each n-token shingle (portable).
+
+    r6: per-doc dedup is MAP-SIDE (array_distinct over the per-row hash
+    array) — (doc_id, h) distinct is exactly per-doc distinct, so the old
+    corpus-wide dropDuplicates shuffle bought nothing (same change as
+    ops/dedup.shingles); the token split is projected to an attribute so the
+    gram lambda does not re-split per element."""
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select("doc_id", F.explode(grams).alias("g"))
-        .filter(F.col("g") != "")
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h"),
+    hashes = F.array_distinct(
+        F.transform(
+            F.filter(grams, lambda g: g != ""),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
         )
-        .dropDuplicates(["doc_id", "h"])
     )
+    return df.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    ).select("doc_id", F.explode(hashes).alias("h"))
 
 
 def contamination_check(

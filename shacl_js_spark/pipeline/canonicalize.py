@@ -46,11 +46,18 @@ def alias_edges(spark: SparkSession, extra: DataFrame | None = None) -> DataFram
     # dedup the driver-built list in Python: a .distinct() here costs a full
     # Spark shuffle job (ca. 0.3 s of fixed latency per pipeline run) to
     # dedup a lexicon-sized list that is already in driver memory
-    edges = spark.createDataFrame(list(dict.fromkeys(rows)), "src string, dst string")
+    local = list(dict.fromkeys(rows))
+    edges = spark.createDataFrame(local, "src string, dst string")
     if extra is not None:
         # caller-supplied evidence is distributed and of unknown size — the
         # set-semantics dedup must stay in Spark on this path
         edges = edges.unionByName(extra).distinct()
+    else:
+        # the rows are driver-born: carry them on the frame so
+        # connected_components can skip the collect round-trip (a PySpark
+        # local-list DataFrame is RDD-backed — even collecting 25 rows
+        # launches a many-partition pickle job, ~0.7 s of fixed latency)
+        edges._graft_local_rows = local
     return edges
 
 
@@ -72,8 +79,14 @@ def connected_components(
     # ONE collect decides the path AND feeds the union-find (was a count job
     # + a collect job): limit(threshold) bounds the driver transfer exactly
     # like the old count did — len(rows) == threshold means "at least
-    # threshold edges", taking the distributed path with rows discarded
-    rows = edges.limit(driver_threshold).collect() if driver_threshold > 0 else []
+    # threshold edges", taking the distributed path with rows discarded.
+    # Driver-born edge frames (alias_edges without extra evidence) carry
+    # their rows and skip the Spark round-trip entirely.
+    local = getattr(edges, "_graft_local_rows", None)
+    if local is not None:
+        rows = local[:driver_threshold]
+    else:
+        rows = edges.limit(driver_threshold).collect() if driver_threshold > 0 else []
     if len(rows) < driver_threshold:
         parent: dict[str, str] = {}
 
@@ -84,8 +97,8 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in rows:
-            ra, rb = find(r["src"]), find(r["dst"])
+        for r in rows:  # positional: r is a Row (collected) or a plain tuple
+            ra, rb = find(r[0]), find(r[1])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         comp: dict[str, list[str]] = {}

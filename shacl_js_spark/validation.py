@@ -273,7 +273,13 @@ class Engine:
 
     # ------------------------------------------------------------------ data
     def _empty_viols(self) -> DataFrame:
-        return self.spark.createDataFrame([], VIOL_SCHEMA)
+        # range(0)-backed: the optimizer's PropagateEmptyRelation folds this
+        # into an empty LocalRelation and prunes it out of report unions
+        # entirely.  createDataFrame([], schema) is RDD-backed in PySpark and
+        # every empty accumulator leg scheduled real (no-op) tasks per union.
+        return self.spark.range(0).select(
+            *[F.lit(None).cast("string").alias(c) for c in VIOL_COLS]
+        )
 
     def trips(self, pred_enc: str | None = None) -> DataFrame:
         """Triples projected to fresh attribute ids (t_*) so repeated
@@ -457,7 +463,21 @@ class Engine:
             *term_cols("focus"),
             *[F.col(c.replace("value", "cur")).alias(c) for c in term_cols("value")],
         )
-        if not path.is_simple_pred:
+        if path.is_simple_pred:
+            # breadcrumb for _count_frame (r6): a simple-pred value frame is
+            # focus ⋈ trips(pred), so counts-per-focus can be computed by
+            # aggregating the (filtered) triple side FIRST and left-joining
+            # the focus frame once — "aggregate before you shuffle".  The
+            # strong focus-frame ref makes the identity check GC-safe.
+            renamed._graft_count_src = (focus_df, f"<{path.pred}>")
+        # r6: only SEQ roots can emit duplicate (focus, value) pairs — two
+        # intermediate routes reaching the same value.  pred/inverse hops
+        # over a set-semantics triple frame are distinct per (focus, value)
+        # by triple uniqueness, and alt/zeroOrOne/zeroOrMore/oneOrMore each
+        # dedup inside _walk (the fixpoint accumulator is a disjoint union
+        # of deduped frontiers) — the old blanket dedup re-sorted an
+        # already-distinct frame for every non-pred path.
+        if path.kind == "seq":
             renamed = renamed.dropDuplicates(["focus", "value"])
         return renamed
 
@@ -857,7 +877,9 @@ class Engine:
             # java.lang.OutOfMemoryError in generateTreeString)
             nodes_df = cut_lineage(nodes_df)
             if nodes_df.isEmpty():
-                return self.spark.createDataFrame([], "node string")
+                return self.spark.range(0).select(
+                    F.lit(None).cast("string").alias("node")
+                )
         # conformance needs the COMPLETE violation set for this shape NOW —
         # cross-shape deferral would leak its rows into the report flush
         prev_deferring = self._deferring
@@ -1045,8 +1067,20 @@ class Engine:
                 candidates = candidates.persist()
                 self._candidates_cache[id(values)] = (values, candidates)
                 self._cached_target_ids[id(candidates)] = candidates
-        mapping = values.select(
-            F.col("focus").alias("_pfocus"), F.col("value").alias("_pvalue")
+        # r6: a path-less parent's value frame is the identity over its
+        # distinct focus set, so the bubble mapping is (x -> x) with
+        # multiplicity 1 — the join neither filters nor re-multiplies nor
+        # changes any bubble value (child bubbles are drawn from candidates
+        # = parent focus).  Skip it (one SortMergeJoin + two sorts per
+        # NodeShape->sh:property query removed); pooled entries get a None
+        # mapping and flush join-free for the same reason.
+        identity_mapping = shape.path is None
+        mapping = (
+            None
+            if identity_mapping
+            else values.select(
+                F.col("focus").alias("_pfocus"), F.col("value").alias("_pvalue")
+            )
         )
         # pooled child checks bypass this mapping join (they flush in
         # _all_violations), so hand the child's pool entries THIS mapping
@@ -1056,6 +1090,8 @@ class Engine:
             child_viols = self.shape_violations(child, candidates)
         finally:
             self._pool_mapping = prev_mapping
+        if identity_mapping:
+            return child_viols
         return (
             child_viols.join(mapping, child_viols["bubble"] == mapping["_pvalue"], "inner")
             .select(F.col("_pfocus").alias("bubble"), *VIOL_COLS[1:])
@@ -1316,7 +1352,23 @@ def _count_frame(eng, targets: DataFrame, values: DataFrame) -> DataFrame:
         hit = eng._counts_cache.get(key)
         if hit is not None and hit[0] is targets and hit[1] is values:
             return hit[2]
-    counts = values.groupBy("focus").agg(F.count("value").alias("_cnt"))
+    src = getattr(values, "_graft_count_src", None)
+    if src is not None and src[0] is targets:
+        # r6 "aggregate before you shuffle": the value frame is
+        # targets ⋈ trips(pred), so per-focus value counts equal the
+        # per-subject row counts of the filtered triple side — aggregate
+        # that side directly (map-side partial agg over the narrow (p, s)
+        # projection) and left-join targets once, skipping the wide
+        # values SortMergeJoin entirely.  Join-multiplicity parity: values
+        # rows per focus == trips rows with t_s == focus, and `value` (the
+        # triple object) is never null, so count("value") == count(*).
+        counts = (
+            eng.data.filter(F.col("p") == src[1])
+            .groupBy(F.col("s").alias("focus"))
+            .agg(F.count("*").alias("_cnt"))
+        )
+    else:
+        counts = values.groupBy("focus").agg(F.count("value").alias("_cnt"))
     out = targets.join(counts, "focus", "left").withColumn(
         "_cnt", F.coalesce(F.col("_cnt"), F.lit(0))
     )
