@@ -621,7 +621,12 @@ class Engine:
         out = self._empty_viols().select(*RECORD_COLS)
         self._fuse_pool = {}
         self._fuse_pool_counts = {}
-        self._deferring = True
+        # r6 (r5-verdict "skip pooling below k shapes"): cross-shape pooling
+        # pays only when MULTIPLE top-level shapes can share memoized frames;
+        # for a single-shape report the deferred-flush machinery is pure
+        # overhead over the direct dispatch path.  Row-multiset parity
+        # between the two paths is pinned by the fusion-parity tests.
+        self._deferring = len(shapes) > 1
         self._pool_mapping = None
         try:
             for shape in shapes:
