@@ -103,6 +103,38 @@ def _embeddings_replica(t: pa.Table, k: int) -> pa.Table:
     return out.set_column(out.schema.get_field_index("label"), "label", labels)
 
 
+def apply_hot_entity(t: pa.Table, hot_mod: int = 10, dup_mod: int = 100) -> pa.Table:
+    """--hot-entity stress overlay (r6; VERDICT r5 item 3 — SURVEY hard-part
+    #5): applied AFTER replication so the skew spans replicas.
+
+    * one hot surface form ("spark", an existing lexicon surface) appended
+      4x to every doc with doc_id % hot_mod == 0 (~10% of the corpus) — a
+      hot entity key for mention counts, linking, and co-occurrence;
+    * one boilerplate near-dup cluster: every doc with doc_id % dup_mod == 0
+      (~1% of the corpus) has its text REPLACED by one fixed base document —
+      identical shingle sets concentrate LSH band buckets and n-gram
+      document frequencies far past the caps, so the skew guards
+      (MAX_LSH_BUCKET drop + max_df filter) must fire for the run to stay
+      bounded."""
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    boiler = texts[0]
+    new_texts = []
+    for d, txt in zip(doc_ids, texts):
+        if d % dup_mod == 0:
+            txt = boiler
+        if d % hot_mod == 0:
+            txt = txt + " spark spark spark spark"
+        new_texts.append(txt)
+    out = t.set_column(
+        t.schema.get_field_index("text"), "text", pa.array(new_texts, pa.string())
+    )
+    return out.set_column(
+        out.schema.get_field_index("n_chars"), "n_chars",
+        pa.array([len(s) for s in new_texts], pa.int64()),
+    )
+
+
 def replicate(name: str, t: pa.Table, factor: int) -> pa.Table:
     if name in DIMS:
         return t
@@ -124,6 +156,9 @@ def main(argv=None) -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--hot-entity", action="store_true",
+                    help="overlay a hot surface (~10%% of docs) and a "
+                         "boilerplate near-dup cluster (~1%%) on documents")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     tables = sorted(
@@ -132,6 +167,8 @@ def main(argv=None) -> int:
     for name in tables:
         t = pq.read_table(f"{args.src}/{name}.parquet")
         out = replicate(name, t, args.factor)
+        if args.hot_entity and name == "documents":
+            out = apply_hot_entity(out)
         pq.write_table(out, f"{args.out}/{name}.parquet")
         print(f"{name}: {t.num_rows} -> {out.num_rows}")
     return 0

@@ -54,6 +54,11 @@ def _session(cpus: str):
     return (
         SparkSession.builder.master(_master(str(cpus)))
         .appName(f"scaling-bench-{cpus}")
+        # local-cluster[n,c,MEM] caps the WORKER; executors still default to
+        # spark.executor.memory=1g (observed -Xmx1024M in the executor
+        # command → exit-52 OOM loops at the x50 corpus, r6) — size the
+        # executor heap to the worker capacity explicitly
+        .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "7g"))
         # constant partition count across sizes: identical per-task footprint
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
