@@ -66,7 +66,14 @@ def _remove_dot_segments(path: str) -> str:
     # trailing "." / ".." keep the slash they collapsed
     if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
         out.append("")
-    return "/".join(out)
+    joined = "/".join(out)
+    if joined == "" and "/" in path:
+        # fully-collapsed hierarchical path: RFC 3986 rule C leaves the
+        # slash it collapsed (e.g. 'a/..' -> '/', so resolve('urn:a/b','..')
+        # is 'urn:/', not 'urn:') — r5 advice; bare '.'/'..' (no slash)
+        # still collapse to ''.
+        return "/"
+    return joined
 
 
 def resolve_iri(base: str, ref: str) -> str:

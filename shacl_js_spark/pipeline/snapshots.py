@@ -114,8 +114,14 @@ class SnapshotCatalog:
         cols = out.columns
         stats = out.agg(
             F.count("*").alias("rows"),
-            # decimal accumulator: overflow-safe at any row count (ANSI mode)
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).cast("string").alias("checksum"),
+            # decimal accumulator: overflow-safe at any row count (ANSI mode).
+            # coalesce: sum() over zero rows is NULL, which would make every
+            # empty snapshot checksum-equal regardless of schema (r5 advice) —
+            # empty tables get a stable '0' instead.
+            F.coalesce(
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).cast("string").alias("checksum"),
         ).collect()[0]
         manifest = {
             "snapshot_id": snap,
@@ -137,7 +143,21 @@ class SnapshotCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mp)
-        # THE commit point: swap the current pointer atomically
+        # THE commit point: swap the current pointer atomically.
+        # Optimistic-concurrency check (r5 advice): a second committer that
+        # raced us would have recorded the same parent; last-writer-wins
+        # would silently orphan one commit (then gc() deletes it).  Re-read
+        # `current` immediately before the swap and refuse to clobber a
+        # commit we did not build on — Iceberg's CAS commit, minus the
+        # atomic compare (os.replace has no CAS; the residual window is the
+        # gap between this check and the replace, documented here).
+        cur_now = self.current_snapshot(table)
+        if cur_now != manifest["parent"]:
+            raise SnapshotError(
+                f"concurrent commit detected for {table!r}: current moved "
+                f"from {manifest['parent']!r} to {cur_now!r} while this "
+                "commit was writing; retry on top of the new current"
+            )
         ptr_tmp = os.path.join(self._meta(table), f".current-{snap}.tmp")
         with open(ptr_tmp, "w") as f:
             f.write(snap)

@@ -123,3 +123,43 @@ def test_full_pipeline_on_snapshot_catalog(spark, root):
     # resume did NOT commit a new snapshot
     assert cat.current_snapshot("triples") == first_snap
     assert len(cat.history("triples")) == 1
+
+
+def test_empty_snapshot_checksum_is_stable_zero(spark, root):
+    # sum() over zero rows is NULL; empty snapshots must not all compare
+    # checksum-equal as None (r5 advice) — they get a stable '0'
+    cat = SnapshotCatalog(spark, root)
+    m = cat.commit("t", _df(spark, []).limit(0))
+    assert m["rows"] == 0
+    assert m["checksum"] == "0"
+
+
+def test_concurrent_commit_is_refused(spark, root):
+    # optimistic-concurrency check (r5 advice): a commit built on a stale
+    # parent must raise instead of silently orphaning the racing commit
+    cat = SnapshotCatalog(spark, root)
+    cat.commit("t", _df(spark, [1]))
+    stale_parent_seen = {}
+    orig = SnapshotCatalog.current_snapshot
+    calls = {"n": 0}
+
+    def racing(self, table):
+        cur = orig(self, table)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first read (parent capture) — then another committer lands
+            stale_parent_seen["parent"] = cur
+            other = SnapshotCatalog(spark, root)
+            SnapshotCatalog.current_snapshot = orig
+            try:
+                other.commit("t", _df(spark, [2]))
+            finally:
+                SnapshotCatalog.current_snapshot = racing
+        return cur
+
+    SnapshotCatalog.current_snapshot = racing
+    try:
+        with pytest.raises(SnapshotError, match="concurrent commit"):
+            cat.commit("t", _df(spark, [3]))
+    finally:
+        SnapshotCatalog.current_snapshot = orig

@@ -566,3 +566,14 @@ def test_class_fail_frame_memoized_across_shapes(spark):
     assert cached.is_cached
     eng.release()
     assert not cached.is_cached and not eng._class_fail_cache
+
+
+def test_resolve_iri_fully_collapsed_path_keeps_slash():
+    # RFC 3986 rule C leaves the slash a trailing '..' collapsed even when
+    # the whole path collapses (r5 advice): 'a/..' -> '/', not ''
+    from shacl_js_spark.jsonld import resolve_iri
+
+    assert resolve_iri("urn:a/b", "..") == "urn:/"
+    assert resolve_iri("urn:a/b", ".") == "urn:a/"  # '.' keeps the directory
+    # bare base path with no slash: ref replaces it, no phantom slash
+    assert resolve_iri("urn:a", "x") == "urn:x"
