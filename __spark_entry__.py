@@ -343,12 +343,22 @@ def _line_qty_report(spark, sf_dir, constraint: str) -> DataFrame:
         )
         rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
         # (l_orderkey, l_linenumber) is not unique in the synthetic data; RDF
-        # graphs have set semantics, so dedup the mapped triples
-        return _iri_triple(li, li_iri, rdf_type, F.lit(EX + "Line")).unionByName(
-            _lit_triple(li, li_iri, EX + "qty",
-                        F.col("l_quantity").cast("decimal(12,1)").cast("string"),
+        # graphs have set semantics, so dedup the mapped triples.  r6: dedup
+        # the NARROW source keys per branch before widening — each branch's
+        # (s,p,o) is a pure function of its keys (type ⟵ (ok,ln);
+        # qty ⟵ (ok,ln,qty_lex)) and the branches differ in p, so per-branch
+        # narrow distincts are set-identical to the old wide
+        # dropDuplicates(s,p,o) while replacing a SortAggregate over ~1.2M
+        # widened rows (5 first(string) buffers) with two HashAggregates
+        # over 2-3 source columns (project early, guide §2.3).
+        qty_lex = F.col("l_quantity").cast("decimal(12,1)").cast("string")
+        keys = li.select("l_orderkey", "l_linenumber", qty_lex.alias("_qty_lex"))
+        type_src = keys.select("l_orderkey", "l_linenumber").distinct()
+        qty_src = keys.distinct()
+        return _iri_triple(type_src, li_iri, rdf_type, F.lit(EX + "Line")).unionByName(
+            _lit_triple(qty_src, li_iri, EX + "qty", F.col("_qty_lex"),
                         dt="http://www.w3.org/2001/XMLSchema#decimal")
-        ).dropDuplicates(["s", "p", "o"])
+        )
 
     # the biggest derived graph in the suite (~2x lineitem rows) and shared
     # by four range queries: build+dedup once, persist s-partitioned
@@ -590,11 +600,20 @@ def _line_qty_tax_triples(spark, sf_dir) -> DataFrame:
     dec = "http://www.w3.org/2001/XMLSchema#decimal"
     qty = F.col("l_quantity").cast("decimal(12,1)").cast("string")
     tax = F.col("l_tax").cast("decimal(12,2)").cast("string")
+    # RDF set semantics (dup source keys) via NARROW per-branch distincts —
+    # set-identical to a wide dropDuplicates(s,p,o) because each branch's
+    # (s,p,o) is a pure function of its distinct key columns and the
+    # branches differ in p (see _line_qty_report, r6)
+    keys = li.select(
+        "l_orderkey", "l_linenumber", qty.alias("_qty_lex"), tax.alias("_tax_lex")
+    )
+    type_src = keys.select("l_orderkey", "l_linenumber").distinct()
+    qty_src = keys.select("l_orderkey", "l_linenumber", "_qty_lex").distinct()
+    tax_src = keys.select("l_orderkey", "l_linenumber", "_tax_lex").distinct()
     return (
-        _iri_triple(li, li_iri, rdf_type, F.lit(EX + "Line"))
-        .unionByName(_lit_triple(li, li_iri, EX + "qty", qty, dt=dec))
-        .unionByName(_lit_triple(li, li_iri, EX + "tax", tax, dt=dec))
-        .dropDuplicates(["s", "p", "o"])  # RDF set semantics (dup source keys)
+        _iri_triple(type_src, li_iri, rdf_type, F.lit(EX + "Line"))
+        .unionByName(_lit_triple(qty_src, li_iri, EX + "qty", F.col("_qty_lex"), dt=dec))
+        .unionByName(_lit_triple(tax_src, li_iri, EX + "tax", F.col("_tax_lex"), dt=dec))
     )
 
 
